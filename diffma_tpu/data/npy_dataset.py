@@ -142,11 +142,16 @@ def make_loader(
     shard = order[process_index::process_count]
     n_batches = len(shard) // batch_size if drop_last else -(-len(shard) // batch_size)
 
+    batched = hasattr(dataset, "load_batch")  # native C++ loader fast path
+
     def produce(q: queue.Queue):
         for b in range(n_batches):
             idx = shard[b * batch_size : (b + 1) * batch_size]
-            items = [dataset[int(i)] for i in idx]
-            q.put(tuple(np.stack([it[k] for it in items]) for k in range(3)))
+            if batched:
+                q.put(dataset.load_batch(idx))
+            else:
+                items = [dataset[int(i)] for i in idx]
+                q.put(tuple(np.stack([it[k] for it in items]) for k in range(3)))
         q.put(None)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)

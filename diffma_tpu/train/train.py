@@ -239,7 +239,13 @@ def main(cfg) -> Optional[TrainState]:
     if not synthetic:
         rng, cond_rng = jax.random.split(rng)
         cond = Conditioning(cfg, logger, cond_rng)
-        dataset = NpyDataset(*folders, transform=transform_train)
+        try:
+            from diffma_tpu.data.native import NativeTripletLoader
+
+            dataset = NativeTripletLoader(*folders, size=int(cfg.image_size))
+            logger.info("using native C++ triplet loader")
+        except Exception:
+            dataset = NpyDataset(*folders, transform=transform_train)
         logger.info(f"Dataset contains {len(dataset)}.")
     else:
         dataset = SyntheticTriplets(
