@@ -39,7 +39,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["selective_scan", "selective_scan_ref", "selective_scan_assoc"]
+__all__ = [
+    "selective_scan",
+    "selective_scan_ref",
+    "selective_scan_assoc",
+    "selective_state_update",
+]
 
 
 def _interpret() -> bool:
@@ -100,6 +105,44 @@ def selective_scan_ref(
     if z is not None:
         y = y * _silu(z.astype(jnp.float32))
     return y.astype(out_dtype)
+
+
+def selective_state_update(
+    ssm_state: jax.Array,  # (G, d, n) fp32 carried state
+    x: jax.Array,  # (G, d) post-conv token
+    dt: jax.Array,  # (G, d) raw delta (pre-bias)
+    A: jax.Array,  # (d, n) negative
+    B: jax.Array,  # (G, n)
+    C: jax.Array,  # (G, n)
+    D: jax.Array,  # (d,)
+    z: Optional[jax.Array] = None,  # (G, d) gate
+    dt_bias: Optional[jax.Array] = None,  # (d,)
+    dt_softplus: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-token recurrent update for incremental decode.
+
+    TPU-native equivalent of the Triton ``selective_state_update`` the
+    reference imports (block/mamba.py:17) and calls in ``Mamba.step``
+    (block/mamba.py:445-447); the math spec is the pure-torch fallback at
+    block/mamba.py:435-443.  Returns ``(y, new_state)``; state math in fp32.
+    """
+    out_dtype = x.dtype
+    s = ssm_state.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    if dt_bias is not None:
+        dtf = dtf + dt_bias.astype(jnp.float32)
+    if dt_softplus:
+        dtf = jax.nn.softplus(dtf)
+    Af = A.astype(jnp.float32)
+    dA = jnp.exp(dtf[..., None] * Af)  # (G, d, n)
+    dBx = (dtf * xf)[..., None] * B.astype(jnp.float32)[:, None, :]
+    s = dA * s + dBx
+    y = jnp.einsum("gdn,gn->gd", s, C.astype(jnp.float32))
+    y = y + D.astype(jnp.float32) * xf
+    if z is not None:
+        y = y * _silu(z.astype(jnp.float32))
+    return y.astype(out_dtype), s
 
 
 # ---------------------------------------------------------------------------

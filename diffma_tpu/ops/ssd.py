@@ -34,7 +34,41 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["ssd_chunked", "ssd_ref"]
+__all__ = ["ssd_chunked", "ssd_ref", "ssd_state_update"]
+
+
+def ssd_state_update(
+    ssm_state: jax.Array,  # (G, H, P, N) fp32 carried state
+    x: jax.Array,  # (G, H, P) post-conv token
+    dt: jax.Array,  # (G, H) raw delta (pre-bias)
+    A: jax.Array,  # (H,) negative
+    B: jax.Array,  # (G, N)
+    C: jax.Array,  # (G, N)
+    D: jax.Array,  # (H,) or (H, P)
+    dt_bias: Optional[jax.Array] = None,  # (H,)
+    dt_softplus: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-token SSD update for incremental decode.
+
+    TPU-native equivalent of the Triton ``selective_state_update`` call in
+    ``Mamba2.step`` (block/mamba2.py:769-772); spec is the pure-torch fallback
+    at block/mamba2.py:746-758.  Returns ``(y, new_state)``, fp32 state math.
+    """
+    out_dtype = x.dtype
+    s = ssm_state.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    dtf = dt.astype(jnp.float32)
+    if dt_bias is not None:
+        dtf = dtf + dt_bias.astype(jnp.float32)
+    if dt_softplus:
+        dtf = jax.nn.softplus(dtf)
+    dA = jnp.exp(dtf * A.astype(jnp.float32))  # (G, H)
+    dBx = jnp.einsum("gh,gn,ghp->ghpn", dtf, B.astype(jnp.float32), xf)
+    s = dA[..., None, None] * s + dBx
+    y = jnp.einsum("ghpn,gn->ghp", s, C.astype(jnp.float32))
+    Df = D.astype(jnp.float32)
+    y = y + (Df[:, None] if Df.ndim == 1 else Df) * xf
+    return y.astype(out_dtype), s
 
 
 def ssd_ref(
