@@ -85,12 +85,17 @@ def selective_scan_ref(
     C = C.astype(jnp.float32)
     dt = jax.nn.softplus(delta) if delta_softplus else delta
     G, L, d = u.shape
+    prec = (
+        lax.Precision.HIGHEST
+        if jnp.dtype(out_dtype) == jnp.float32
+        else lax.Precision.DEFAULT
+    )
 
     def step(h, xs):
         dt_t, u_t, B_t, C_t = xs  # (G,d) (G,d) (G,n) (G,n)
         a = jnp.exp(dt_t[..., None] * A)  # (G, d, n)
         h = a * h + (dt_t * u_t)[..., None] * B_t[:, None, :]
-        y = jnp.einsum("gdn,gn->gd", h, C_t)
+        y = jnp.einsum("gdn,gn->gd", h, C_t, precision=prec)
         return h, y
 
     h0 = jnp.zeros((G, d, A.shape[1]), jnp.float32)
@@ -138,7 +143,12 @@ def selective_state_update(
     dA = jnp.exp(dtf[..., None] * Af)  # (G, d, n)
     dBx = (dtf * xf)[..., None] * B.astype(jnp.float32)[:, None, :]
     s = dA * s + dBx
-    y = jnp.einsum("gdn,gn->gd", s, C.astype(jnp.float32))
+    prec = (
+        lax.Precision.HIGHEST
+        if jnp.dtype(out_dtype) == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+    y = jnp.einsum("gdn,gn->gd", s, C.astype(jnp.float32), precision=prec)
     y = y + D.astype(jnp.float32) * xf
     if z is not None:
         y = y * _silu(z.astype(jnp.float32))
@@ -175,7 +185,12 @@ def selective_scan_assoc(
         return a_l * a_r, a_r * b_l + b_r
 
     _, h = lax.associative_scan(combine, (a, b), axis=1)
-    y = jnp.einsum("gldn,gln->gld", h, C.astype(jnp.float32))
+    prec = (
+        lax.Precision.HIGHEST
+        if jnp.dtype(out_dtype) == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+    y = jnp.einsum("gldn,gln->gld", h, C.astype(jnp.float32), precision=prec)
     y = y + u * D.astype(jnp.float32)
     if z is not None:
         y = y * _silu(z.astype(jnp.float32))

@@ -37,6 +37,17 @@ from jax import lax
 __all__ = ["ssd_chunked", "ssd_ref", "ssd_state_update"]
 
 
+def _contract_precision(dtype) -> lax.Precision:
+    """Dtype-faithful MXU precision: fp32 inputs contract in true fp32
+    (TPU default would silently round operands to bf16); bf16 training
+    activations keep the fast single-pass MXU path."""
+    return (
+        lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+
+
 def ssd_state_update(
     ssm_state: jax.Array,  # (G, H, P, N) fp32 carried state
     x: jax.Array,  # (G, H, P) post-conv token
@@ -62,10 +73,12 @@ def ssd_state_update(
         dtf = dtf + dt_bias.astype(jnp.float32)
     if dt_softplus:
         dtf = jax.nn.softplus(dtf)
+    prec = _contract_precision(out_dtype)
     dA = jnp.exp(dtf * A.astype(jnp.float32))  # (G, H)
-    dBx = jnp.einsum("gh,gn,ghp->ghpn", dtf, B.astype(jnp.float32), xf)
+    dBx = jnp.einsum("gh,gn,ghp->ghpn", dtf, B.astype(jnp.float32), xf,
+                     precision=prec)
     s = dA[..., None, None] * s + dBx
-    y = jnp.einsum("ghpn,gn->ghp", s, C.astype(jnp.float32))
+    y = jnp.einsum("ghpn,gn->ghp", s, C.astype(jnp.float32), precision=prec)
     Df = D.astype(jnp.float32)
     y = y + (Df[:, None] if Df.ndim == 1 else Df) * xf
     return y.astype(out_dtype), s
@@ -96,13 +109,14 @@ def ssd_ref(
     C = C.astype(jnp.float32)
     G, L, H, P = x.shape
     N = B.shape[-1]
+    prec = _contract_precision(out_dtype)
 
     def step(S, ins):
         x_t, dt_t, B_t, C_t = ins  # (G,H,P) (G,H) (G,N) (G,N)
         dA = jnp.exp(dt_t * A)  # (G, H)
-        dBx = jnp.einsum("gh,gn,ghp->ghpn", dt_t, B_t, x_t)
+        dBx = jnp.einsum("gh,gn,ghp->ghpn", dt_t, B_t, x_t, precision=prec)
         S = dA[..., None, None] * S + dBx
-        y = jnp.einsum("ghpn,gn->ghp", S, C_t)
+        y = jnp.einsum("ghpn,gn->ghp", S, C_t, precision=prec)
         return S, y
 
     S0 = jnp.zeros((G, H, P, N), jnp.float32)
@@ -173,16 +187,18 @@ def ssd_chunked(
     cs = jnp.cumsum(dA, axis=2)  # inclusive within-chunk cumsum
 
     # ---- intra-chunk (dense, causal-masked matmuls) -----------------------
-    cb = jnp.einsum("gctn,gcsn->gcts", Cf, Bf)  # (G, nc, Q, Q)
+    prec = _contract_precision(out_dtype)
+    cb = jnp.einsum("gctn,gcsn->gcts", Cf, Bf, precision=prec)  # (G, nc, Q, Q)
     decay = _segsum_decay(jnp.moveaxis(cs, -1, 2))  # (G, nc, H, Q, Q)
     m = cb[:, :, None] * decay  # (G, nc, H, Q, Q)
     xdt = xf * dtf[..., None]  # (G, nc, Q, H, P)
-    y_intra = jnp.einsum("gchts,gcshp->gcthp", m, xdt)
+    y_intra = jnp.einsum("gchts,gcshp->gcthp", m, xdt, precision=prec)
 
     # ---- chunk states + inter-chunk recurrence ----------------------------
     cs_last = cs[:, :, -1]  # (G, nc, H): total chunk decay exponent
     state_decay = jnp.exp(cs_last[:, :, None] - cs)  # (G, nc, Q, H)
-    S_chunk = jnp.einsum("gcqh,gcqn,gcqhp->gchpn", state_decay * dtf, Bf, xf)
+    S_chunk = jnp.einsum("gcqh,gcqn,gcqhp->gchpn", state_decay * dtf, Bf, xf,
+                         precision=prec)
 
     def inter(Sprev, ins):
         S_c, dec = ins  # (G,H,P,N), (G,H)
@@ -198,7 +214,7 @@ def ssd_chunked(
     S_in = jnp.moveaxis(S_in, 0, 1)  # (G, nc, H, P, N)
 
     y_inter = jnp.einsum(
-        "gcqh,gcqn,gchpn->gcqhp", jnp.exp(cs), Cf, S_in
+        "gcqh,gcqn,gchpn->gcqhp", jnp.exp(cs), Cf, S_in, precision=prec
     )
 
     y = (y_intra + y_inter).reshape(G, L, H, P)[:, :L0]

@@ -25,3 +25,11 @@ if os.environ.get("DIFFMA_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# Parity tests compare fp32 math across implementations; on TPU the default
+# matmul precision silently rounds fp32 operands to bf16, which makes those
+# comparisons backend-dependent.  Pin true-fp32 contractions for the suite
+# (production code paths choose their own precision per dtype).
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_default_matmul_precision", "highest")

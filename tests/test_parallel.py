@@ -10,6 +10,11 @@ import numpy as np
 import optax
 import pytest
 
+if jax.device_count() < 8:
+    # DIFFMA_TEST_TPU=1 runs on the single real chip; the mesh tests need the
+    # virtual 8-device CPU harness from conftest.
+    pytest.skip("needs the 8-device virtual mesh", allow_module_level=True)
+
 from diffma_tpu.diffusion import create_diffusion
 from diffma_tpu.models.diffma import DiffMa
 from diffma_tpu.parallel import make_mesh, param_partition_spec, shard_batch, shard_params

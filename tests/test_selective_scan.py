@@ -48,7 +48,10 @@ def test_manual_recurrence_matches_ref():
         y = h @ CC[0, t] + np.asarray(D) * uu[0, t]
         zz = np.asarray(z[0, t], np.float64)
         expect[0, t] = y * (zz / (1 + np.exp(-zz)))
-    np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-5)
+    # TPU fp32 transcendentals (exp/softplus) are approximated; vs this fp64
+    # host loop the recurrence accumulates up to ~5e-4 relative error there.
+    tol = 2e-5 if jax.default_backend() != "tpu" else 5e-4
+    np.testing.assert_allclose(got, expect, rtol=tol, atol=tol)
 
 
 @pytest.mark.parametrize("gated", [True, False])
