@@ -45,6 +45,7 @@ from diffma_tpu.train.checkpoints import find_model, save_checkpoint
 from diffma_tpu.train.state import TrainState, make_train_step
 from diffma_tpu.utils.config import parse_cli
 from diffma_tpu.utils.logging import WandbShim, create_experiment_dir, create_logger
+from diffma_tpu.utils.profiling import StepProfiler, Throughput
 from diffma_tpu.utils.torch_io import ct_encoder_params_from_torch, load_torch_checkpoint
 
 __all__ = ["main", "build_conditioning", "make_loss_fn"]
@@ -263,6 +264,13 @@ def main(cfg) -> Optional[TrainState]:
     train_steps = start_step
     running = []
     t0 = time.time()
+    profiler = StepProfiler(
+        cfg.get("profile_dir"),
+        start_step=int(cfg.get("profile_start_step", 10)),
+        num_steps=int(cfg.get("profile_steps", 5)),
+        enabled=(rank == 0),
+    )
+    throughput = Throughput(global_batch)
     logger.info(f"Training for {cfg.epochs} epochs...")
 
     for epoch in range(int(cfg.epochs)):
@@ -285,13 +293,17 @@ def main(cfg) -> Optional[TrainState]:
             running.append(metrics["loss"])
             wandb.log({"loss": float(metrics["loss"])}) if cfg.get("wandb") else None
             train_steps += 1
+            profiler.step(train_steps)
+            throughput.tick()
 
             if train_steps % log_every == 0:
                 losses = np.asarray(jax.device_get(running), np.float32)
-                steps_per_sec = len(running) / (time.time() - t0)
+                tp = throughput.report()
                 logger.info(
                     f"(step={train_steps:07d}) Train Loss: "
-                    f"{np.nanmean(losses):.4f}, Train Steps/Sec: {steps_per_sec:.2f}"
+                    f"{np.nanmean(losses):.4f}, Train Steps/Sec: "
+                    f"{tp['steps_per_sec']:.2f}, Images/Sec/Chip: "
+                    f"{tp['images_per_sec_per_chip']:.2f}"
                 )
                 running, t0 = [], time.time()
 
@@ -307,9 +319,11 @@ def main(cfg) -> Optional[TrainState]:
                 )
                 logger.info(f"Saved checkpoint to {path}")
             if max_steps is not None and train_steps >= int(max_steps):
+                profiler.close()
                 logger.info("Done!")
                 wandb.finish()
                 return state
+    profiler.close()
     logger.info("Done!")
     wandb.finish()
     return state
