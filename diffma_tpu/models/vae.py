@@ -4,11 +4,10 @@ The reference consumes ``stabilityai/sd-vae-ft-{ema,mse}`` through diffusers
 (train.py:156, sample.py:54) for the 224x224 -> 28x28x4 latent codec with
 scaling factor 0.18215 (train.py:238-239).  This is a faithful JAX port of
 that architecture (SD first-stage AutoencoderKL: ch=128, ch_mult=(1,2,4,4),
-2 res-blocks per level, single mid-attention, double_z), NHWC layout, with a
-state-dict importer for locally available diffusers weights
-(``diffma_tpu.utils.torch_io``-loaded .pt / .bin).  The container has no
-network egress, so tests run with random weights; numerics of every block are
-shape-checked and the importer is exercised against synthetic state dicts.
+2 res-blocks per level, single mid-attention, double_z), NHWC layout.  Local
+diffusers weights import via ``diffma_tpu.utils.torch_io.vae_params_from_torch``.
+The container has no network egress, so tests run with random weights and the
+importer is exercised against synthetic state dicts.
 
 encode() returns the diagonal-Gaussian moments; ``sample`` + ``scale`` match
 ``vae.encode(x).latent_dist.sample().mul_(0.18215)``.

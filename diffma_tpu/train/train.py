@@ -46,7 +46,12 @@ from diffma_tpu.train.state import TrainState, make_train_step
 from diffma_tpu.utils.config import parse_cli
 from diffma_tpu.utils.logging import WandbShim, create_experiment_dir, create_logger
 from diffma_tpu.utils.profiling import StepProfiler, Throughput
-from diffma_tpu.utils.torch_io import ct_encoder_params_from_torch, load_torch_checkpoint
+from diffma_tpu.utils.torch_io import (
+    clip_vision_params_from_torch,
+    ct_encoder_params_from_torch,
+    load_torch_checkpoint,
+    vae_params_from_torch,
+)
 
 __all__ = ["main", "build_conditioning", "make_loss_fn"]
 
@@ -84,10 +89,11 @@ class Conditioning:
 
         def load_or_init(name, path, module, init_args, converter=None):
             if path and os.path.exists(path):
-                if converter is not None:
-                    logger.info(f"{name}: importing weights from {path}")
-                    return converter(path)
                 logger.info(f"{name}: importing weights from {path}")
+                if converter is not None and str(path).endswith(
+                    (".pt", ".pth", ".bin", ".ckpt")
+                ):
+                    return converter(path)
                 return np.load(path, allow_pickle=True).item()
             logger.info(
                 f"{name}: no local weights found ({path!r}); using random "
@@ -100,11 +106,23 @@ class Conditioning:
             sd = sd.get(cfg.get("load_ckpt_type", "ema"), sd.get("ema", sd))
             return jax.tree.map(jnp.asarray, ct_encoder_params_from_torch(sd))
 
+        def vae_converter(path):
+            sd = load_torch_checkpoint(path)
+            sd = sd.get("state_dict", sd)
+            return jax.tree.map(jnp.asarray, vae_params_from_torch(sd))
+
+        def clip_converter(path):
+            sd = load_torch_checkpoint(path)
+            sd = sd.get("state_dict", sd)
+            return jax.tree.map(jnp.asarray, clip_vision_params_from_torch(sd))
+
         self.vae_vars = load_or_init(
-            "sd-vae", cfg.get("vae_ckpt"), self.vae, (r1, r2, dummy_img)
+            "sd-vae", cfg.get("vae_ckpt"), self.vae, (r1, r2, dummy_img),
+            converter=vae_converter,
         )
         self.clip_vars = load_or_init(
-            "biomedclip", cfg.get("clip_ckpt"), self.clip, (r2, dummy_img)
+            "biomedclip", cfg.get("clip_ckpt"), self.clip, (r2, dummy_img),
+            converter=clip_converter,
         )
         self.ct_vars = load_or_init(
             "ct-encoder", cfg.get("ct_ckpt"), self.ct,

@@ -21,6 +21,8 @@ import numpy as np
 __all__ = [
     "load_torch_checkpoint",
     "ct_encoder_params_from_torch",
+    "vae_params_from_torch",
+    "clip_vision_params_from_torch",
 ]
 
 
@@ -105,4 +107,165 @@ def ct_encoder_params_from_torch(state_dict: Dict[str, np.ndarray]) -> Dict:
     }
     if "vision_embedding.mask_token" in sd:
         params["vision_embedding"]["mask_token"] = sd["vision_embedding.mask_token"]
+    return {"params": params}
+
+
+def _conv(sd, key):
+    """torch Conv2d (O, I, kh, kw) -> flax nn.Conv {(kh, kw, I, O), (O,)}."""
+    return {
+        "kernel": np.transpose(sd[f"{key}.weight"], (2, 3, 1, 0)).copy(),
+        "bias": sd[f"{key}.bias"],
+    }
+
+
+def _dense(sd, key, bias=True):
+    """torch Linear (O, I) -- or 1x1 Conv (O, I, 1, 1) -- -> flax Dense."""
+    w = sd[f"{key}.weight"]
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    out = {"kernel": w.T.copy()}
+    if bias:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _norm(sd, key):
+    """torch GroupNorm/LayerNorm weight/bias -> flax {scale, bias}."""
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _resnet(sd, key):
+    p = {
+        "norm1": _norm(sd, f"{key}.norm1"),
+        "conv1": _conv(sd, f"{key}.conv1"),
+        "norm2": _norm(sd, f"{key}.norm2"),
+        "conv2": _conv(sd, f"{key}.conv2"),
+    }
+    if f"{key}.conv_shortcut.weight" in sd:
+        p["nin_shortcut"] = _conv(sd, f"{key}.conv_shortcut")
+    elif f"{key}.nin_shortcut.weight" in sd:  # CompVis naming
+        p["nin_shortcut"] = _conv(sd, f"{key}.nin_shortcut")
+    return p
+
+
+def _sd_attn(sd, key):
+    names = (
+        ("group_norm", "to_q", "to_k", "to_v", "to_out.0")
+        if f"{key}.to_q.weight" in sd
+        else ("norm", "q", "k", "v", "proj_out")  # CompVis naming
+    )
+    return {
+        "norm": _norm(sd, f"{key}.{names[0]}"),
+        "q": _dense(sd, f"{key}.{names[1]}"),
+        "k": _dense(sd, f"{key}.{names[2]}"),
+        "v": _dense(sd, f"{key}.{names[3]}"),
+        "proj_out": _dense(sd, f"{key}.{names[4]}"),
+    }
+
+
+def vae_params_from_torch(
+    state_dict: Dict[str, np.ndarray],
+    ch_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+) -> Dict:
+    """Map a diffusers ``AutoencoderKL`` state dict (sd-vae-ft-ema/mse, the
+    codec the reference loads at train.py:156) onto
+    ``diffma_tpu.models.vae.AutoencoderKL``.
+
+    Handles the diffusers layout (``encoder.down_blocks.*``); attention
+    projections may be Linear or legacy 1x1 convs.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    n_levels = len(ch_mult)
+
+    enc = {
+        "conv_in": _conv(sd, "encoder.conv_in"),
+        "mid_block_1": _resnet(sd, "encoder.mid_block.resnets.0"),
+        "mid_attn_1": _sd_attn(sd, "encoder.mid_block.attentions.0"),
+        "mid_block_2": _resnet(sd, "encoder.mid_block.resnets.1"),
+        "norm_out": _norm(sd, "encoder.conv_norm_out"),
+        "conv_out": _conv(sd, "encoder.conv_out"),
+    }
+    for lvl in range(n_levels):
+        for b in range(num_res_blocks):
+            enc[f"down_{lvl}_block_{b}"] = _resnet(
+                sd, f"encoder.down_blocks.{lvl}.resnets.{b}"
+            )
+        if lvl != n_levels - 1:
+            enc[f"down_{lvl}_downsample"] = _conv(
+                sd, f"encoder.down_blocks.{lvl}.downsamplers.0.conv"
+            )
+
+    dec = {
+        "conv_in": _conv(sd, "decoder.conv_in"),
+        "mid_block_1": _resnet(sd, "decoder.mid_block.resnets.0"),
+        "mid_attn_1": _sd_attn(sd, "decoder.mid_block.attentions.0"),
+        "mid_block_2": _resnet(sd, "decoder.mid_block.resnets.1"),
+        "norm_out": _norm(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv(sd, "decoder.conv_out"),
+    }
+    # diffusers up_blocks run low->high resolution; our decoder names levels
+    # high->low (up_{3}..up_{0}), so up_blocks.k == up_{n-1-k}.
+    for k in range(n_levels):
+        lvl = n_levels - 1 - k
+        for b in range(num_res_blocks + 1):
+            dec[f"up_{lvl}_block_{b}"] = _resnet(
+                sd, f"decoder.up_blocks.{k}.resnets.{b}"
+            )
+        if lvl != 0:
+            dec[f"up_{lvl}_upsample"] = _conv(
+                sd, f"decoder.up_blocks.{k}.upsamplers.0.conv"
+            )
+
+    return {
+        "params": {
+            "encoder": enc,
+            "decoder": dec,
+            "quant_conv": _dense(sd, "quant_conv"),
+            "post_quant_conv": _dense(sd, "post_quant_conv"),
+        }
+    }
+
+
+def clip_vision_params_from_torch(
+    state_dict: Dict[str, np.ndarray], depth: int = 12
+) -> Dict:
+    """Map the BiomedCLIP image tower (open_clip TimmModel: timm ViT-B/16
+    trunk + 512-d projection head; loaded by the reference at
+    train.py:176-177) onto ``diffma_tpu.models.clip_vit.VisionTransformer``.
+
+    Accepts full-model state dicts (keys ``visual.trunk.*`` / ``visual.head.*``)
+    or already-stripped trunk dicts (``patch_embed.*``, ``blocks.*``).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("module.")
+        if k.startswith("visual.trunk."):
+            sd[k.removeprefix("visual.trunk.")] = v
+        elif k.startswith("visual.head."):
+            sd["head." + k.removeprefix("visual.head.")] = v
+        elif not k.startswith(("text.", "logit_scale", "visual.")):
+            sd[k] = v
+
+    params = {
+        "patch_kernel": _conv_kernel_to_matmul(sd["patch_embed.proj.weight"]),
+        "patch_bias": sd["patch_embed.proj.bias"],
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm": _norm(sd, "norm"),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1": _norm(sd, f"{b}.norm1"),
+            "qkv": _dense(sd, f"{b}.attn.qkv"),
+            "proj": _dense(sd, f"{b}.attn.proj"),
+            "norm2": _norm(sd, f"{b}.norm2"),
+            "mlp": {
+                "fc1": _dense(sd, f"{b}.mlp.fc1"),
+                "fc2": _dense(sd, f"{b}.mlp.fc2"),
+            },
+        }
+    head_key = "head.proj" if "head.proj.weight" in sd else "head"
+    params["head"] = _dense(sd, head_key, bias=f"{head_key}.bias" in sd)
     return {"params": params}
