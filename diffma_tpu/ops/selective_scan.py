@@ -51,6 +51,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# The backward kernel's scratch (per-chunk a/b/h/g/t buffers + chunk-entry
+# checkpoints) can exceed the 16 MB default scoped-VMEM budget at production
+# shapes (d_inner=1024, L~200); v5e/v5p have 128 MB VMEM, so grant headroom.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary",), vmem_limit_bytes=96 * 1024 * 1024
+)
+
+
 def _silu(x):
     return x * jax.nn.sigmoid(x)
 
@@ -306,6 +314,7 @@ def _selective_scan_pallas_fwd_impl(u, delta, A, B, C, D, z):
             pltpu.VMEM((Q, n, d), jnp.float32),  # hbuf
             pltpu.VMEM((L, d), jnp.float32),  # ybuf
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(u, delta, B, C, z if z is not None else u, AT, D32)
     return out[:, :L0] if L != L0 else out
@@ -509,6 +518,7 @@ def _selective_scan_pallas_bwd_impl(u, delta, A, B, C, D, z, g_out):
             pltpu.VMEM((nq, n, d), jnp.float32),  # checkpoints
             pltpu.VMEM((n, d), jnp.float32),  # dA accumulator
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(u, delta, B, C, z if gated else u, AT, D32, g_out)
     du, ddelta, dB, dC, dz, dA_p, dD_p = outs
