@@ -68,6 +68,7 @@ class DiffMa(nn.Module):
     d_state: int = 16
     use_mamba2: bool = False
     scan_impl: str = "auto"
+    remat: bool = False  # rematerialise blocks: trade FLOPs for HBM at depth
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -80,16 +81,14 @@ class DiffMa(nn.Module):
 
     def _block(self, i: int):
         cls = _BLOCK_CLS[self.block_type]
-        if cls is DiTBlock:
-            return DiTBlock(
+        if self.remat:
+            # checkpoint each block's activations; the U-skip buffers stay.
+            # spec (arg 4) is a static trace-time gather table.
+            cls = nn.remat(cls, static_argnums=(4,))
+        if self.block_type == "DiT":
+            return cls(
                 hidden=self.hidden_size, num_heads=8, dtype=self.dtype,
                 name=f"block_{i}",
-            )
-        if cls is SpiralMambaBlock:
-            return SpiralMambaBlock(
-                hidden=self.hidden_size, d_state=self.d_state,
-                use_mamba2=self.use_mamba2, scan_impl=self.scan_impl,
-                dtype=self.dtype, name=f"block_{i}",
             )
         return cls(
             hidden=self.hidden_size, d_state=self.d_state,

@@ -215,9 +215,13 @@ def atrous_streams(n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class ScanSpec:
     """Static description of one mixer's multi-stream scan.
+
+    ``eq=False`` keeps identity hashing so a spec can be a *static* argument
+    under jit/remat; ``build_scan_spec`` is lru_cached, so equal specs are
+    the same object and identity equality is exact.
 
     Attributes:
       fwd: (S, Ls) int32 gather indices; stream s is ``x[fwd[s]]``.

@@ -202,6 +202,7 @@ def main(cfg) -> Optional[TrainState]:
         dt_rank=int(cfg.get("dt_rank", 16)),
         d_state=int(cfg.get("d_state", 16)),
         use_mamba2=bool(cfg.get("use_mamba2", False)),
+        remat=bool(cfg.get("remat", False)),
         dtype=dtype,
     )
     diffusion = create_diffusion("")
