@@ -94,7 +94,9 @@ def ssd_ref(
     dt_bias: Optional[jax.Array] = None,  # (H,)
     dt_softplus: bool = True,
     dt_limit: tuple[float, float] = (0.0, float("inf")),
-) -> jax.Array:
+    initial_state: Optional[jax.Array] = None,  # (G, H, P, N)
+    return_final_state: bool = False,
+):
     """Sequential ground truth, fp32 state."""
     out_dtype = x.dtype
     x = x.astype(jnp.float32)
@@ -119,18 +121,23 @@ def ssd_ref(
         y = jnp.einsum("ghpn,gn->ghp", S, C_t, precision=prec)
         return S, y
 
-    S0 = jnp.zeros((G, H, P, N), jnp.float32)
+    S0 = (
+        jnp.zeros((G, H, P, N), jnp.float32)
+        if initial_state is None
+        else initial_state.astype(jnp.float32)
+    )
     ins = (
         jnp.moveaxis(x, 1, 0),
         jnp.moveaxis(dt, 1, 0),
         jnp.moveaxis(B, 1, 0),
         jnp.moveaxis(C, 1, 0),
     )
-    _, ys = lax.scan(step, S0, ins)
+    S_final, ys = lax.scan(step, S0, ins)
     y = jnp.moveaxis(ys, 0, 1)  # (G, L, H, P)
     D = D.astype(jnp.float32)
     y = y + (D[:, None] if D.ndim == 1 else D) * x
-    return y.astype(out_dtype)
+    y = y.astype(out_dtype)
+    return (y, S_final) if return_final_state else y
 
 
 def _segsum_decay(cs: jax.Array) -> jax.Array:
@@ -154,11 +161,16 @@ def ssd_chunked(
     dt_softplus: bool = True,
     dt_limit: tuple[float, float] = (0.0, float("inf")),
     chunk_size: int = 256,
-) -> jax.Array:
+    initial_state: Optional[jax.Array] = None,  # (G, H, P, N)
+    return_final_state: bool = False,
+):
     """Chunked SSD scan; matches ``ssd_ref`` with matmul-dominated work.
 
     Shapes as in ``ssd_ref``.  L is zero-padded to a multiple of the chunk
     (padded dt rows get -30 => decay 1, input 0, so they are inert).
+    ``initial_state`` / ``return_final_state`` thread the (G, H, P, N) carry
+    across sequence shards (the sequence-parallel handoff, see
+    diffma_tpu.parallel.sequence).
     """
     out_dtype = x.dtype
     G, L0, H, P = x.shape
@@ -206,9 +218,14 @@ def ssd_chunked(
         S_out = dec[..., None, None] * Sprev + S_c
         return S_out, S_in
 
-    _, S_in = lax.scan(
+    S0 = (
+        jnp.zeros((G, H, P, N), jnp.float32)
+        if initial_state is None
+        else initial_state.astype(jnp.float32)
+    )
+    S_final, S_in = lax.scan(
         inter,
-        jnp.zeros((G, H, P, N), jnp.float32),
+        S0,
         (jnp.moveaxis(S_chunk, 1, 0), jnp.moveaxis(jnp.exp(cs_last), 1, 0)),
     )
     S_in = jnp.moveaxis(S_in, 0, 1)  # (G, nc, H, P, N)
@@ -220,4 +237,5 @@ def ssd_chunked(
     y = (y_intra + y_inter).reshape(G, L, H, P)[:, :L0]
     Df = D.astype(jnp.float32)
     y = y + (Df[:, None] if Df.ndim == 1 else Df) * x.astype(jnp.float32)[:, :L0]
-    return y.astype(out_dtype)
+    y = y.astype(out_dtype)
+    return (y, S_final) if return_final_state else y
