@@ -54,8 +54,10 @@ def _interpret() -> bool:
 # The backward kernel's scratch (per-chunk a/b/h/g/t buffers + chunk-entry
 # checkpoints) can exceed the 16 MB default scoped-VMEM budget at production
 # shapes (d_inner=1024, L~200); v5e/v5p have 128 MB VMEM, so grant headroom.
+# Grid steps are independent G items (state and scratch are fully re-written
+# per step), so "parallel" semantics let Mosaic overlap DMA with compute.
 _COMPILER_PARAMS = pltpu.CompilerParams(
-    dimension_semantics=("arbitrary",), vmem_limit_bytes=96 * 1024 * 1024
+    dimension_semantics=("parallel",), vmem_limit_bytes=96 * 1024 * 1024
 )
 
 
