@@ -68,3 +68,17 @@ def find_model(path: str, load_ckpt_type: str = "ema") -> Dict[str, Any]:
         if isinstance(ckpt, dict) and key in ckpt:
             return ckpt[key]
     return ckpt
+
+
+def load_diffma_params(path: str, model, load_ckpt_type: str = "ema"):
+    """``find_model`` + automatic name conversion when the checkpoint is a
+    reference torch state dict (flat dotted keys) rather than a Flax tree."""
+    tree = find_model(path, load_ckpt_type)
+    if isinstance(tree, dict) and any("." in str(k) for k in tree):
+        from diffma_tpu.utils.torch_io import diffma_params_from_torch
+
+        tree = diffma_params_from_torch(
+            tree, depth=model.depth, block_type=model.block_type,
+            use_mamba2=model.use_mamba2,
+        )["params"]
+    return tree

@@ -24,7 +24,7 @@ from diffma_tpu.data import NpyDataset, SyntheticTriplets, make_loader, transfor
 from diffma_tpu.diffusion import create_diffusion
 from diffma_tpu.models.diffma import build_model
 from diffma_tpu.models.vae import SD_VAE_SCALE, AutoencoderKL
-from diffma_tpu.train.checkpoints import find_model
+from diffma_tpu.train.checkpoints import load_diffma_params
 from diffma_tpu.train.train import Conditioning, synthetic_batch
 from diffma_tpu.utils.config import parse_cli
 from diffma_tpu.utils.logging import create_logger
@@ -80,7 +80,9 @@ def main(cfg):
     )["params"]
     ckpt_path = cfg.get("ckpt")
     if ckpt_path and os.path.exists(str(ckpt_path)):
-        loaded = find_model(str(ckpt_path), str(cfg.get("load_ckpt_type", "ema")))
+        loaded = load_diffma_params(
+            str(ckpt_path), model, str(cfg.get("load_ckpt_type", "ema"))
+        )
         params = jax.tree.map(lambda t, l: jnp.asarray(l, t.dtype), init_params, loaded)
         logger.info(f"Loaded {cfg.get('load_ckpt_type', 'ema')} weights from {ckpt_path}")
     else:

@@ -41,7 +41,7 @@ from diffma_tpu.models.ct_encoder import CTEncoder
 from diffma_tpu.models.diffma import build_model
 from diffma_tpu.models.vae import SD_VAE_SCALE, AutoencoderKL
 from diffma_tpu.parallel import make_mesh, shard_batch, shard_params
-from diffma_tpu.train.checkpoints import find_model, save_checkpoint
+from diffma_tpu.train.checkpoints import load_diffma_params, save_checkpoint
 from diffma_tpu.train.state import TrainState, make_train_step
 from diffma_tpu.utils.config import parse_cli
 from diffma_tpu.utils.logging import WandbShim, create_experiment_dir, create_logger
@@ -218,7 +218,7 @@ def main(cfg) -> Optional[TrainState]:
         dummy["w"],
     )["params"]
     if cfg.get("init_from_pretrain_ckpt"):
-        loaded = find_model(str(cfg.pretrain_ckpt_path), "model")
+        loaded = load_diffma_params(str(cfg.pretrain_ckpt_path), model, "model")
         params = jax.tree.map(jnp.asarray, loaded)
         logger.info(f"Loaded pretrain model from {cfg.pretrain_ckpt_path}")
         lr = float(cfg.get("lr_", cfg.lr))

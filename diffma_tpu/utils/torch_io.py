@@ -23,6 +23,7 @@ __all__ = [
     "ct_encoder_params_from_torch",
     "vae_params_from_torch",
     "clip_vision_params_from_torch",
+    "diffma_params_from_torch",
 ]
 
 
@@ -268,4 +269,89 @@ def clip_vision_params_from_torch(
         }
     head_key = "head.proj" if "head.proj.weight" in sd else "head"
     params["head"] = _dense(sd, head_key, bias=f"{head_key}.bias" in sd)
+    return {"params": params}
+
+
+def _mamba1_from_torch(sd, pfx):
+    """mamba_ssm Mamba state dict -> diffma_tpu.models.mamba.Mamba params."""
+    return {
+        "in_proj": _dense(sd, f"{pfx}.in_proj", bias=False),
+        "conv1d_weight": sd[f"{pfx}.conv1d.weight"][:, 0, :],  # (d_in, 1, K)
+        "conv1d_bias": sd[f"{pfx}.conv1d.bias"],
+        "x_proj": _dense(sd, f"{pfx}.x_proj", bias=False),
+        "dt_proj": _dense(sd, f"{pfx}.dt_proj"),
+        "A_log": sd[f"{pfx}.A_log"],
+        "D": sd[f"{pfx}.D"],
+        "out_proj": _dense(sd, f"{pfx}.out_proj", bias=False),
+    }
+
+
+def _mamba2_from_torch(sd, pfx):
+    """mamba_ssm Mamba2 state dict -> diffma_tpu.models.mamba2.Mamba2."""
+    return {
+        "in_proj": _dense(sd, f"{pfx}.in_proj", bias=False),
+        "conv1d_weight": sd[f"{pfx}.conv1d.weight"][:, 0, :],
+        "conv1d_bias": sd[f"{pfx}.conv1d.bias"],
+        "dt_bias": sd[f"{pfx}.dt_bias"],
+        "A_log": sd[f"{pfx}.A_log"],
+        "D": sd[f"{pfx}.D"],
+        "norm_weight": sd[f"{pfx}.norm.weight"],
+        "out_proj": _dense(sd, f"{pfx}.out_proj", bias=False),
+    }
+
+
+def diffma_params_from_torch(
+    state_dict: Dict[str, np.ndarray],
+    depth: int,
+    block_type: str = "spiral",
+    use_mamba2: bool = False,
+) -> Dict:
+    """Map a reference DiffMa checkpoint sub-dict ("model" or "ema",
+    train.py:290-303) onto ``diffma_tpu.models.diffma.DiffMa``.
+
+    Key layout per the reference modules: ``x_embedder.proj`` (conv patchify,
+    model.py:22-46), ``t_embedder.mlp.{0,2}`` (model.py:49-85),
+    ``blocks.{i}.{norm1, adaLN_modulation.1, mamba*/attn/mlp,
+    attention_network.{0,1,3}}`` (block/mamba_block.py), and
+    ``final_layer.{linear, adaLN_modulation.1}`` (model.py:92-109).
+    ``pos_embed`` is a fixed buffer, recomputed at trace time here.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    mixer = _mamba2_from_torch if use_mamba2 else _mamba1_from_torch
+
+    params = {
+        "x_embedder": {
+            "kernel": _conv_kernel_to_matmul(sd["x_embedder.proj.weight"]),
+            "bias": sd["x_embedder.proj.bias"],
+        },
+        "t_embedder": {
+            "fc1": _dense(sd, "t_embedder.mlp.0"),
+            "fc2": _dense(sd, "t_embedder.mlp.2"),
+        },
+        "final_layer": {
+            "adaLN": _dense(sd, "final_layer.adaLN_modulation.1"),
+            "linear": _dense(sd, "final_layer.linear"),
+        },
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        blk = {"adaLN": {"fc": _dense(sd, f"{b}.adaLN_modulation.1")}}
+        if block_type == "DiT":
+            blk["attn"] = {
+                "qkv": _dense(sd, f"{b}.attn.qkv"),
+                "proj": _dense(sd, f"{b}.attn.proj"),
+            }
+            blk["mlp_fc1"] = _dense(sd, f"{b}.mlp.fc1")
+            blk["mlp_fc2"] = _dense(sd, f"{b}.mlp.fc2")
+        elif block_type == "spiral":
+            blk["norm1"] = _norm(sd, f"{b}.norm1")
+            blk["mamba1"] = mixer(sd, f"{b}.mamba1")
+            blk["mamba2"] = mixer(sd, f"{b}.mamba2")
+            blk["attn_norm"] = _norm(sd, f"{b}.attention_network.0")
+            blk["attn_fc1"] = _dense(sd, f"{b}.attention_network.1")
+            blk["attn_fc2"] = _dense(sd, f"{b}.attention_network.3")
+        else:
+            blk["norm1"] = _norm(sd, f"{b}.norm1")
+            blk["mamba"] = mixer(sd, f"{b}.mamba")
+        params[f"block_{i}"] = blk
     return {"params": params}
