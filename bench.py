@@ -43,8 +43,12 @@ def main():
     from diffma_tpu.train.train import make_loss_fn, synthetic_batch
 
     latent, tokens = 28, 196
+    # Inference uses the fully fused mixer kernel (conv+projections+scan+gate
+    # in one Pallas call); training keeps the composable path below.
+    sampler_impl = "fused" if jax.default_backend() == "tpu" else "auto"
     model = build_model(
-        "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16
+        "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16,
+        scan_impl=sampler_impl,
     )
     rng = jax.random.PRNGKey(0)
     cond = synthetic_batch(rng, BATCH, latent, tokens)
@@ -83,6 +87,13 @@ def main():
     img_s = BATCH / sample_time
 
     # --- train steps/sec (aux) ------------------------------------------------
+    model = build_model(
+        "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16
+    )
+    params = model.init(
+        jax.random.PRNGKey(1), cond["z"], jnp.zeros((BATCH,), jnp.int32),
+        cond["y"], cond["y2"], cond["w"],
+    )["params"]
     train_diff = create_diffusion("")
     optimizer = optax.adamw(1e-4, weight_decay=0.0)
     state = TrainState.create(params, optimizer)

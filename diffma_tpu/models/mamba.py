@@ -33,8 +33,26 @@ import numpy as np
 from diffma_tpu.ops.scan_orders import ScanSpec
 from diffma_tpu.ops.selective_scan import selective_scan
 from diffma_tpu.ops.conv import causal_conv1d
+from diffma_tpu.ops.fused_mamba import mamba_inner_fused
 
 __all__ = ["Mamba"]
+
+
+class _Kernel(nn.Module):
+    """Bare parameter holder producing the same tree entry as nn.Dense
+    ({<name>: {kernel[, bias]}}), so the fused path can read raw weights
+    while checkpoints stay interchangeable with the unfused path."""
+
+    shape: tuple
+    kernel_init: object
+    bias_init: object = None
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape, jnp.float32)
+        if self.bias_init is None:
+            return k
+        return k, self.param("bias", self.bias_init, (self.shape[1],), jnp.float32)
 
 
 def _conv_init_torch(key, shape, dtype=jnp.float32):
@@ -108,8 +126,6 @@ class Mamba(nn.Module):
         S, Ls = spec.fwd.shape
         xs = xs.reshape(B_ * 1, S, Ls, 2 * d_in).reshape(B_ * S, Ls, 2 * d_in)
 
-        u, z = jnp.split(xs, 2, axis=-1)
-
         conv_w = self.param("conv1d_weight", _conv_init_torch, (d_in, self.d_conv))
         # torch Conv1d bias bound uses the weight's fan_in (= K, depthwise).
         conv_b = self.param(
@@ -120,18 +136,10 @@ class Mamba(nn.Module):
             ),
             (d_in,),
         )
-        u = causal_conv1d(u, conv_w, conv_b, activation="silu")
-
-        x_dbl = nn.Dense(
-            r + 2 * n, use_bias=False, kernel_init=xavier, dtype=self.dtype,
-            name="x_proj",
-        )(u)
-        dt_r, B_ssm, C_ssm = jnp.split(x_dbl, [r, r + n], axis=-1)
-        delta = nn.Dense(
-            d_in, use_bias=True, kernel_init=dt_w_init, bias_init=dt_b_init,
-            dtype=jnp.float32, name="dt_proj",
-        )(dt_r.astype(jnp.float32))
-
+        xp_w = _Kernel((d_in, r + 2 * n), xavier, name="x_proj")()
+        dt_w, dt_b = _Kernel(
+            (r, d_in), dt_w_init, bias_init=dt_b_init, name="dt_proj"
+        )()
         A_log = self.param(
             "A_log",
             lambda k, s: jnp.tile(
@@ -142,9 +150,21 @@ class Mamba(nn.Module):
         D = self.param("D", nn.initializers.ones, (d_in,), jnp.float32)
         A = -jnp.exp(A_log.astype(jnp.float32))
 
-        y = selective_scan(
-            u, delta, A, B_ssm, C_ssm, D, z=z, impl=self.scan_impl
-        )
+        if self.scan_impl == "fused":
+            # One Pallas kernel: conv -> projections -> scan -> gate.
+            y = mamba_inner_fused(xs, conv_w, conv_b, xp_w, dt_w, dt_b, A, D)
+        else:
+            u, z = jnp.split(xs, 2, axis=-1)
+            u = causal_conv1d(u, conv_w, conv_b, activation="silu")
+            x_dbl = jnp.dot(u, xp_w.astype(u.dtype))
+            dt_r, B_ssm, C_ssm = jnp.split(x_dbl, [r, r + n], axis=-1)
+            delta = (
+                jnp.dot(dt_r.astype(jnp.float32), dt_w.astype(jnp.float32))
+                + dt_b.astype(jnp.float32)
+            )
+            y = selective_scan(
+                u, delta, A, B_ssm, C_ssm, D, z=z, impl=self.scan_impl
+            )
 
         # Scatter-add merge (pre-out_proj; out_proj has no bias).
         merge = jnp.asarray(np.ascontiguousarray(spec.merge))  # (L, k)

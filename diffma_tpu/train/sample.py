@@ -67,6 +67,13 @@ def main(cfg):
         dt_rank=int(cfg.get("dt_rank", 16)),
         d_state=int(cfg.get("d_state", 16)),
         use_mamba2=bool(cfg.get("use_mamba2", False)),
+        # fused single-kernel mixer inner on TPU (inference-only win)
+        scan_impl=str(
+            cfg.get(
+                "scan_impl",
+                "fused" if jax.default_backend() == "tpu" else "auto",
+            )
+        ),
         dtype=jnp.bfloat16 if cfg.get("autocast") else jnp.float32,
     )
     diffusion = create_diffusion(str(cfg.get("sample_num_steps", 250)))
