@@ -326,17 +326,23 @@ def main(cfg) -> Optional[TrainState]:
                 )
                 running, t0 = [], time.time()
 
-            if train_steps % ckpt_every == 0 and train_steps > 0 and rank == 0:
-                path = save_checkpoint(
-                    os.path.join(exp_dir, "checkpoints"), train_steps,
-                    {
-                        "model": jax.device_get(state.params),
-                        "ema": jax.device_get(state.ema_params),
-                        "opt": jax.device_get(state.opt_state),
-                        "args": cfg.to_dict(),
-                    },
-                )
-                logger.info(f"Saved checkpoint to {path}")
+            if train_steps % ckpt_every == 0 and train_steps > 0:
+                if rank == 0:
+                    path = save_checkpoint(
+                        os.path.join(exp_dir, "checkpoints"), train_steps,
+                        {
+                            "model": jax.device_get(state.params),
+                            "ema": jax.device_get(state.ema_params),
+                            "opt": jax.device_get(state.opt_state),
+                            "args": cfg.to_dict(),
+                        },
+                    )
+                    logger.info(f"Saved checkpoint to {path}")
+                if jax.process_count() > 1:
+                    # dist.barrier() parity (train.py:303)
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices("ckpt")
             if max_steps is not None and train_steps >= int(max_steps):
                 profiler.close()
                 logger.info("Done!")
