@@ -120,12 +120,15 @@ def main(cfg):
         jnp.zeros((1, 3, cfg.image_size, cfg.image_size)),
     )
 
+    use_ddim = bool(cfg.get("use_ddim", False))
+
     @jax.jit
     def sample_batch(params, rng, z_init, y, y2, w):
         def model_fn(x, t, **kw):
             return model.apply({"params": params}, x, t, **kw).astype(jnp.float32)
 
-        samples = diffusion.p_sample_loop(
+        loop = diffusion.ddim_sample_loop if use_ddim else diffusion.p_sample_loop
+        samples = loop(
             model_fn, z_init.shape, rng, noise=z_init, clip_denoised=False,
             model_kwargs={"y": y, "y2": y2, "w": w},
         )

@@ -49,6 +49,20 @@ def test_all_block_families_forward(block_type):
     assert float(jnp.abs(out).max()) == 0.0
 
 
+def test_efficient_vmamba_with_mamba2():
+    """eff + Mamba2: broken upstream (block/mamba2.py:704 passes token lists
+    to a 1-arg forward); the uniform ScanSpec design fixes it here."""
+    m = DiffMa(
+        input_size=8, patch_size=2, depth=2, hidden_size=512,
+        block_type="efficientVMamba", d_state=16, use_mamba2=True,
+    )
+    args = _inputs()
+    vars_ = m.init(jax.random.PRNGKey(0), *args)
+    out = m.apply(vars_, *args)
+    assert out.shape == (2, 8, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_mamba2_path_forward():
     m = DiffMa(
         input_size=8, patch_size=2, depth=2, hidden_size=512,
