@@ -1,0 +1,119 @@
+"""End-to-end diffusion parity against the reference's own diffusion package.
+
+The reference's ``diffusion/`` is pure numpy/torch (no CUDA kernels), so it
+imports here and serves as the oracle (SURVEY.md §4.3).  With a shared
+deterministic denoiser and identical initial noise, the eta=0 DDIM chain is
+fully deterministic -- trajectories must agree to fp32 tolerance, which is
+exactly the BASELINE.json north star (DDIM pixel MAE < 1e-3).  p_mean_variance
+is compared pointwise across the respaced DDPM chain as well (covers
+respacing, learned-range variance, posterior coefficients).
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+try:
+    from diffusion import create_diffusion as ref_create_diffusion
+except Exception:  # reference not mounted
+    ref_create_diffusion = None
+
+from diffma_tpu.diffusion import create_diffusion
+
+pytestmark = pytest.mark.skipif(
+    ref_create_diffusion is None, reason="reference repo not mounted"
+)
+
+SHAPE = (2, 8, 7, 7)  # learn_sigma model: 2*4 output channels
+
+
+def _model_jax(x, t, **kw):
+    """Deterministic toy denoiser, 8-channel (eps + raw variance)."""
+    tt = (t.astype(jnp.float32) / 100.0)[:, None, None, None]
+    eps = jnp.tanh(x) * (1.0 + 0.1 * tt)
+    var = jnp.sin(x + tt)
+    return jnp.concatenate([eps, var], axis=1)
+
+
+def _model_torch(x, t, **kw):
+    tt = (t.float() / 100.0)[:, None, None, None]
+    eps = torch.tanh(x) * (1.0 + 0.1 * tt)
+    var = torch.sin(x + tt)
+    return torch.cat([eps, var], dim=1)
+
+
+def _x0():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((2, 4, 7, 7)).astype(np.float32)
+
+
+def test_ddim_chain_matches_reference():
+    steps = "ddim10"
+    ours = create_diffusion(steps)
+    ref = ref_create_diffusion(steps)
+    z = _x0()
+
+    got = ours.ddim_sample_loop(
+        _model_jax, z.shape[:1] + (4, 7, 7), jax.random.PRNGKey(0),
+        noise=jnp.asarray(z), clip_denoised=False, eta=0.0,
+    )
+    want = ref.ddim_sample_loop(
+        _model_torch, z.shape[:1] + (4, 7, 7), noise=torch.from_numpy(z),
+        clip_denoised=False, eta=0.0, device="cpu",
+    )
+    mae = np.abs(np.asarray(got) - want.numpy()).mean()
+    assert mae < 1e-3, f"DDIM pixel MAE {mae} vs north star 1e-3"
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("respacing", ["", "25"])
+def test_p_mean_variance_matches_reference(respacing):
+    ours = create_diffusion(respacing)
+    ref = ref_create_diffusion(respacing)
+    assert ours.num_timesteps == ref.num_timesteps
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 7, 7)).astype(np.float32)
+    for t_val in [0, 1, ours.num_timesteps // 2, ours.num_timesteps - 1]:
+        t = np.full((2,), t_val, np.int64)
+        got = ours.p_mean_variance(
+            _model_jax, jnp.asarray(x), jnp.asarray(t), clip_denoised=False
+        )
+        want = ref.p_mean_variance(
+            _model_torch, torch.from_numpy(x), torch.from_numpy(t),
+            clip_denoised=False,
+        )
+        for k in ("mean", "log_variance", "pred_xstart"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k].numpy(), rtol=2e-5, atol=2e-5,
+                err_msg=f"{k} @ t={t_val} respacing={respacing!r}",
+            )
+
+
+def test_training_losses_match_reference():
+    ours = create_diffusion("")
+    ref = ref_create_diffusion("")
+    rng = np.random.default_rng(2)
+    x0 = rng.standard_normal((2, 4, 7, 7)).astype(np.float32)
+    noise = rng.standard_normal((2, 4, 7, 7)).astype(np.float32)
+    t = np.array([3, 700], np.int64)
+
+    got = ours.training_losses(
+        _model_jax, jnp.asarray(x0), jnp.asarray(t), jax.random.PRNGKey(0),
+        noise=jnp.asarray(noise),
+    )
+    want = ref.training_losses(
+        _model_torch, torch.from_numpy(x0), torch.from_numpy(t),
+        noise=torch.from_numpy(noise),
+    )
+    for k in ("loss", "mse", "vb"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].numpy(), rtol=3e-5, atol=3e-5,
+            err_msg=k,
+        )
