@@ -24,6 +24,7 @@ from diffma_tpu.data import NpyDataset, SyntheticTriplets, make_loader, transfor
 from diffma_tpu.diffusion import create_diffusion
 from diffma_tpu.models.diffma import build_model
 from diffma_tpu.models.vae import SD_VAE_SCALE, AutoencoderKL
+from diffma_tpu.parallel import make_mesh, shard_batch
 from diffma_tpu.train.checkpoints import load_diffma_params
 from diffma_tpu.train.train import Conditioning, synthetic_batch
 from diffma_tpu.utils.config import parse_cli
@@ -140,6 +141,14 @@ def main(cfg):
     save_dir = str(cfg.get("save_dir", "./result_sample"))
     n_batches = int(cfg.get("sample_num_batches", 0)) or None
 
+    # Shard the sample batch over the dp mesh axis when it divides evenly;
+    # XLA parallelises the whole scan+decode program across chips.
+    mesh = make_mesh(tp=1)
+    use_mesh = batch_size % mesh.shape["dp"] == 0 and mesh.shape["dp"] > 1
+
+    def place(tree):
+        return shard_batch(tree, mesh) if use_mesh else tree
+
     loader = make_loader(
         dataset, batch_size, shuffle=False, drop_last=False,
         process_index=jax.process_index(), process_count=jax.process_count(),
@@ -157,6 +166,7 @@ def main(cfg):
         else:
             b = synthetic_batch(enc_rng, n, latent, tokens)
             y, y2, w = b["y"], b["y2"], b["w"]
+        z, y, y2, w = place((z, y, y2, w))
         samples = sample_batch(params, s_rng, z, y, y2, w)
         samples = np.asarray(samples)
         results.append(samples)
