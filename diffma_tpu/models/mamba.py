@@ -124,7 +124,7 @@ class Mamba(nn.Module):
         fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))  # (S, Ls)
         xs = jnp.take(xz, fwd.reshape(-1), axis=1)  # (B, S*Ls, 2*d_in)
         S, Ls = spec.fwd.shape
-        xs = xs.reshape(B_ * 1, S, Ls, 2 * d_in).reshape(B_ * S, Ls, 2 * d_in)
+        xs = xs.reshape(B_ * S, Ls, 2 * d_in)
 
         conv_w = self.param("conv1d_weight", _conv_init_torch, (d_in, self.d_conv))
         # torch Conv1d bias bound uses the weight's fan_in (= K, depthwise).

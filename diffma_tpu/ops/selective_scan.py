@@ -61,6 +61,16 @@ _COMPILER_PARAMS = pltpu.CompilerParams(
 )
 
 
+
+def _contract_precision(dtype) -> lax.Precision:
+    """Dtype-faithful MXU precision: fp32 inputs contract in true fp32 (the
+    TPU default silently rounds operands to bf16); bf16 keeps the fast path."""
+    return (
+        lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+
 def _silu(x):
     return x * jax.nn.sigmoid(x)
 
@@ -95,11 +105,7 @@ def selective_scan_ref(
     C = C.astype(jnp.float32)
     dt = jax.nn.softplus(delta) if delta_softplus else delta
     G, L, d = u.shape
-    prec = (
-        lax.Precision.HIGHEST
-        if jnp.dtype(out_dtype) == jnp.float32
-        else lax.Precision.DEFAULT
-    )
+    prec = _contract_precision(out_dtype)
 
     def step(h, xs):
         dt_t, u_t, B_t, C_t = xs  # (G,d) (G,d) (G,n) (G,n)
@@ -153,11 +159,7 @@ def selective_state_update(
     dA = jnp.exp(dtf[..., None] * Af)  # (G, d, n)
     dBx = (dtf * xf)[..., None] * B.astype(jnp.float32)[:, None, :]
     s = dA * s + dBx
-    prec = (
-        lax.Precision.HIGHEST
-        if jnp.dtype(out_dtype) == jnp.float32
-        else lax.Precision.DEFAULT
-    )
+    prec = _contract_precision(out_dtype)
     y = jnp.einsum("gdn,gn->gd", s, C.astype(jnp.float32), precision=prec)
     y = y + D.astype(jnp.float32) * xf
     if z is not None:
@@ -195,11 +197,7 @@ def selective_scan_assoc(
         return a_l * a_r, a_r * b_l + b_r
 
     _, h = lax.associative_scan(combine, (a, b), axis=1)
-    prec = (
-        lax.Precision.HIGHEST
-        if jnp.dtype(out_dtype) == jnp.float32
-        else lax.Precision.DEFAULT
-    )
+    prec = _contract_precision(out_dtype)
     y = jnp.einsum("gldn,gln->gld", h, C.astype(jnp.float32), precision=prec)
     y = y + u * D.astype(jnp.float32)
     if z is not None:
