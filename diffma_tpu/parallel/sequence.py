@@ -31,7 +31,94 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from diffma_tpu.ops.ssd import ssd_chunked
 
-__all__ = ["ssd_sequence_parallel"]
+__all__ = ["ssd_sequence_parallel", "selective_scan_sequence_parallel"]
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _sel_scan_local(u, delta, A, B, C, D, z, delta_softplus, axis):
+    """Per-shard Mamba-1 scan body under shard_map.
+
+    Uses the associative formulation: the scan over affine maps h -> a*h + b
+    yields, at each t, the composed map (a_cum[t], h_local[t]) of the whole
+    prefix -- so the shard's final element IS its summary, and the state
+    entering the shard folds in as ``h[t] = h_local[t] + a_cum[t] * S_in``.
+    One all-gather of (G, d, n) summaries; no sequential device chain.
+    """
+    uf = u.astype(jnp.float32)
+    dt = delta.astype(jnp.float32)
+    if delta_softplus:
+        dt = jax.nn.softplus(dt)
+    Af = A.astype(jnp.float32)
+    a = jnp.exp(dt[..., None] * Af)  # (G, Ls, d, n)
+    b = (dt * uf)[..., None] * B.astype(jnp.float32)[:, :, None, :]
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, a_r * b_l + b_r
+
+    a_cum, h_local = jax.lax.associative_scan(combine, (a, b), axis=1)
+
+    # Exclusive prefix of shard summaries (final composed map per shard):
+    # compose the gathered maps inclusively, then take the (idx-1)-th.
+    idx = jax.lax.axis_index(axis)
+    a_all = jax.lax.all_gather(a_cum[:, -1], axis)  # (ndev, G, d, n)
+    b_all = jax.lax.all_gather(h_local[:, -1], axis)
+    _, b_inc = jax.lax.associative_scan(combine, (a_all, b_all), axis=0)
+    prev = jnp.take(b_inc, jnp.maximum(idx - 1, 0), axis=0)
+    S_in = jnp.where(idx > 0, prev, jnp.zeros_like(prev))
+
+    h = h_local + a_cum * S_in[:, None]
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(u.dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    y = jnp.einsum("gldn,gln->gld", h, C.astype(jnp.float32), precision=prec)
+    y = y + uf * D.astype(jnp.float32)
+    if z is not None:
+        y = y * _silu(z.astype(jnp.float32))
+    return y.astype(u.dtype)
+
+
+def selective_scan_sequence_parallel(
+    u: jax.Array,  # (G, L, d) -- L divisible by mesh axis size
+    delta: jax.Array,  # (G, L, d) raw (incl. dt bias)
+    A: jax.Array,  # (d, n) negative
+    B: jax.Array,  # (G, L, n)
+    C: jax.Array,  # (G, L, n)
+    D: jax.Array,  # (d,)
+    mesh: Mesh,
+    axis: str = "sp",
+    z: Optional[jax.Array] = None,  # (G, L, d) gate
+    delta_softplus: bool = True,
+) -> jax.Array:
+    """Mamba-1 selective scan with the sequence axis sharded over
+    ``mesh[axis]``; matches ``selective_scan_ref`` on the full sequence."""
+    body = partial(_sel_scan_local, delta_softplus=delta_softplus, axis=axis)
+    seq = P(None, axis)
+    rep = P()
+    # jax.checkpoint keeps the linearization residuals to the primal inputs
+    # (rematerialising the body on the backward pass), which both bounds CP
+    # memory and sidesteps residual-sharding mismatches under shard_map.
+    if z is None:
+        fn = jax.shard_map(
+            jax.checkpoint(lambda u, dt, B, C, A, D: body(u, dt, A, B, C, D, None)),
+            mesh=mesh,
+            in_specs=(seq, seq, seq, seq, rep, rep),
+            out_specs=seq,
+        )
+        return fn(u, delta, B, C, A, D)
+    fn = jax.shard_map(
+        jax.checkpoint(lambda u, dt, B, C, z, A, D: body(u, dt, A, B, C, D, z)),
+        mesh=mesh,
+        in_specs=(seq, seq, seq, seq, seq, rep, rep),
+        out_specs=seq,
+    )
+    return fn(u, delta, B, C, z, A, D)
 
 
 def _local_with_carry(x, dt, A, B, C, D, dt_bias, dt_softplus, dt_limit,

@@ -54,6 +54,56 @@ def test_sequence_parallel_matches_ref(ndev):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("gated", [True, False])
+def test_mamba1_sequence_parallel_matches_ref(gated):
+    from diffma_tpu.ops.selective_scan import selective_scan_ref
+    from diffma_tpu.parallel.sequence import selective_scan_sequence_parallel
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    G, L, d, n = 2, 64, 16, 8
+    u = jax.random.normal(ks[0], (G, L, d))
+    delta = jax.random.normal(ks[1], (G, L, d)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)) * 0.3)
+    B = jax.random.normal(ks[3], (G, L, n))
+    C = jax.random.normal(ks[4], (G, L, n))
+    D = jnp.ones((d,))
+    z = jax.random.normal(ks[5], (G, L, d)) if gated else None
+
+    ref = selective_scan_ref(u, delta, A, B, C, D, z=z)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    got = selective_scan_sequence_parallel(u, delta, A, B, C, D, mesh, z=z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_mamba1_sequence_parallel_grads():
+    from diffma_tpu.ops.selective_scan import selective_scan_ref
+    from diffma_tpu.parallel.sequence import selective_scan_sequence_parallel
+
+    ks = jax.random.split(jax.random.PRNGKey(4), 6)
+    G, L, d, n = 1, 32, 8, 4
+    u = jax.random.normal(ks[0], (G, L, d))
+    delta = jax.random.normal(ks[1], (G, L, d)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)) * 0.3)
+    B = jax.random.normal(ks[3], (G, L, n))
+    C = jax.random.normal(ks[4], (G, L, n))
+    D = jnp.ones((d,))
+    z = jax.random.normal(ks[5], (G, L, d))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+
+    def loss_sp(u, delta, B, C):
+        return jnp.sum(jnp.tanh(
+            selective_scan_sequence_parallel(u, delta, A, B, C, D, mesh, z=z)
+        ))
+
+    def loss_ref(u, delta, B, C):
+        return jnp.sum(jnp.tanh(selective_scan_ref(u, delta, A, B, C, D, z=z)))
+
+    g_sp = jax.grad(loss_sp, argnums=(0, 1, 2, 3))(u, delta, B, C)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(u, delta, B, C)
+    for a, b in zip(g_sp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
 def test_sequence_parallel_grads():
     x, dt, A, B, C, D, db = _inputs(G=1, L=32, H=2, P=4, N=4)
     mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
