@@ -188,8 +188,8 @@ def _vjp_fwd(*args):
 
 def _vjp_bwd(res, g):
     # Recompute through the composable (differentiable) path.
-    _, vjp = jax.vjp(_fused_ref, *res)
-    return vjp(g.astype(jnp.float32))
+    out, vjp = jax.vjp(_fused_ref, *res)
+    return vjp(g.astype(out.dtype))
 
 
 mamba_inner_fused.defvjp(_vjp_fwd, _vjp_bwd)

@@ -46,6 +46,21 @@ def test_fused_grads_via_recompute():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_grads_bf16_cotangent():
+    """bf16 primal output => the recompute VJP must accept bf16 cotangents
+    (regression: training through scan_impl='fused' in bf16)."""
+    d = 32
+    w = _weights(d=d)
+    xz = jax.random.normal(jax.random.PRNGKey(9), (1, 16, 2 * d), jnp.bfloat16)
+
+    def loss(xz):
+        return jnp.sum(mamba_inner_fused(xz, *w).astype(jnp.float32))
+
+    g = jax.grad(loss)(xz)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
 def test_mamba_module_fused_impl():
     """Mamba(scan_impl='fused') == Mamba(scan_impl='ref') on the same params."""
     B, L, dm = 2, 16, 32
