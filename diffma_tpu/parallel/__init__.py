@@ -6,3 +6,7 @@ from diffma_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
     param_partition_spec,
 )
+from diffma_tpu.parallel.sequence import (  # noqa: F401
+    selective_scan_sequence_parallel,
+    ssd_sequence_parallel,
+)
