@@ -33,6 +33,14 @@ pytestmark = pytest.mark.skipif(
 SHAPE = (2, 8, 7, 7)  # learn_sigma model: 2*4 output channels
 
 
+def _tol(base):
+    """TPU fp32 transcendentals (exp/log/tanh) are approximated; vs torch CPU
+    the chains accumulate ~5e-4 absolute, amplified to ~1e-3 relative where
+    pred_xstart divides by sqrt(alpha_cum) ~ 1e-2 at the chain end.  The
+    <1e-3 DDIM MAE north star stays strict."""
+    return base if jax.default_backend() != "tpu" else 2e-3
+
+
 def _model_jax(x, t, **kw):
     """Deterministic toy denoiser, 8-channel (eps + raw variance)."""
     tt = (t.astype(jnp.float32) / 100.0)[:, None, None, None]
@@ -69,7 +77,9 @@ def test_ddim_chain_matches_reference():
     )
     mae = np.abs(np.asarray(got) - want.numpy()).mean()
     assert mae < 1e-3, f"DDIM pixel MAE {mae} vs north star 1e-3"
-    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=_tol(1e-4), atol=_tol(1e-4)
+    )
 
 
 @pytest.mark.parametrize("respacing", ["", "25"])
@@ -91,7 +101,8 @@ def test_p_mean_variance_matches_reference(respacing):
         )
         for k in ("mean", "log_variance", "pred_xstart"):
             np.testing.assert_allclose(
-                np.asarray(got[k]), want[k].numpy(), rtol=2e-5, atol=2e-5,
+                np.asarray(got[k]), want[k].numpy(),
+                rtol=_tol(2e-5), atol=_tol(2e-5),
                 err_msg=f"{k} @ t={t_val} respacing={respacing!r}",
             )
 
@@ -114,6 +125,6 @@ def test_training_losses_match_reference():
     )
     for k in ("loss", "mse", "vb"):
         np.testing.assert_allclose(
-            np.asarray(got[k]), want[k].numpy(), rtol=3e-5, atol=3e-5,
+            np.asarray(got[k]), want[k].numpy(), rtol=_tol(3e-5), atol=_tol(3e-5),
             err_msg=k,
         )
