@@ -198,7 +198,18 @@ def atrous_streams(n: int) -> np.ndarray:
     inverse scatter; token j of stream s returns to grid position
     ``streams[s, j]``.
     """
-    assert n % 2 == 0, "atrous decomposition needs an even grid"
+    if n % 2 != 0:
+        # The reference is equally broken on odd grids: its strided slices in
+        # CrossScan_EfficientVMamba (block/mamba.py:176-183) produce streams
+        # of mismatched length and the merge shape-errors.  Registry entries
+        # like EMamba-*/4 at 224^2 (grid 7) therefore cannot run upstream
+        # either; fail with a clear message instead of an assert.
+        raise ValueError(
+            f"EfficientVMamba's atrous decomposition requires an even token "
+            f"grid; got {n}x{n}. (Parity note: the reference crashes on odd "
+            f"grids too -- block/mamba.py:176-183 shape-mismatches -- so e.g. "
+            f"EMamba-*/4 at image_size 224 is unusable in both frameworks.)"
+        )
     r = np.arange(n * n, dtype=np.int32).reshape(n, n)
     return np.stack(
         [
@@ -229,11 +240,18 @@ class ScanSpec:
         the merged sequence is ``sum_k ys.flat[merge[:, k]]``.
       scale: scalar applied after merging (0.5 for the ViM bidirectional
         average, block/mamba.py:367; 1.0 otherwise).
+      mamba1_vim_quirk: replicate the reference Mamba1 'vim' merge bug
+        (block/mamba.py:362-367): the reverse stream's output -- a (B, L, D)
+        tensor -- is "un-flipped" with ``torch.flip(out2, [2])``, i.e. along
+        the *feature* axis instead of the sequence axis, and stays in
+        reversed token order.  The Mamba2 'vim' path flips dim 1 correctly
+        (block/mamba2.py:502,522), so only the Mamba1 mixer honours this.
     """
 
     fwd: np.ndarray
     merge: np.ndarray
     scale: float
+    mamba1_vim_quirk: bool = False
 
     @property
     def n_streams(self) -> int:
@@ -292,6 +310,10 @@ def build_scan_spec(block_type: str, grid_n: int, layer_idx: int = 0) -> ScanSpe
     elif block_type == "vim":
         fwd = np.stack([ident, ident[::-1]])
         scale = 0.5
+        return ScanSpec(
+            fwd=fwd, merge=_build_merge_table(fwd, L), scale=scale,
+            mamba1_vim_quirk=True,
+        )
     elif block_type == "vmamba":
         orders, _ = vmamba_orders(grid_n)
         fwd = orders

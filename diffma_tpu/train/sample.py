@@ -29,6 +29,7 @@ from diffma_tpu.train.checkpoints import load_diffma_params
 from diffma_tpu.train.train import Conditioning, synthetic_batch
 from diffma_tpu.utils.config import parse_cli
 from diffma_tpu.utils.logging import create_logger
+from diffma_tpu.utils.metrics import quality_report
 
 __all__ = ["main", "save_image_grid"]
 
@@ -142,18 +143,23 @@ def main(cfg):
     n_batches = int(cfg.get("sample_num_batches", 0)) or None
 
     # Shard the sample batch over the dp mesh axis when it divides evenly;
-    # XLA parallelises the whole scan+decode program across chips.
+    # XLA parallelises the whole scan+decode program across chips.  Gated
+    # per batch: with drop_last=False the final batch can be a partial one
+    # (n % dp != 0) that cannot be dp-sharded and must run replicated.
     mesh = make_mesh(tp=1)
-    use_mesh = batch_size % mesh.shape["dp"] == 0 and mesh.shape["dp"] > 1
+    use_mesh = mesh.shape["dp"] > 1
 
-    def place(tree):
-        return shard_batch(tree, mesh) if use_mesh else tree
+    def place(tree, n):
+        if use_mesh and n % mesh.shape["dp"] == 0:
+            return shard_batch(tree, mesh)
+        return tree
 
     loader = make_loader(
         dataset, batch_size, shuffle=False, drop_last=False,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
     results = []
+    quality = []
     for item, (x_ct, _mask, z_mri) in enumerate(loader, start=1):
         n = x_ct.shape[0]
         rng, z_rng, enc_rng, s_rng = jax.random.split(rng, 4)
@@ -166,7 +172,7 @@ def main(cfg):
         else:
             b = synthetic_batch(enc_rng, n, latent, tokens)
             y, y2, w = b["y"], b["y2"], b["w"]
-        z, y, y2, w = place((z, y, y2, w))
+        z, y, y2, w = place((z, y, y2, w), n)
         samples = sample_batch(params, s_rng, z, y, y2, w)
         samples = np.asarray(samples)
         results.append(samples)
@@ -177,9 +183,25 @@ def main(cfg):
         save_image_grid(
             np.concatenate([x_ct] * 3, axis=1), f"{save_dir}/{item}_sample_ct.png"
         )
-        logger.info(f"saved sample grid {item}")
+        # Quality vs ground-truth MRI (the reference authors did this with
+        # offline gitignored ssim.py/psnr.py scripts; here it is built in).
+        q = quality_report(samples, np.concatenate([z_mri] * 3, axis=1))
+        quality.append(q)
+        logger.info(
+            f"saved sample grid {item}  "
+            f"PSNR {q['psnr_db']:.2f} dB  SSIM {q['ssim']:.4f}"
+        )
         if n_batches and item >= n_batches:
             break
+    if quality:
+        logger.info(
+            "quality over %d batches: PSNR %.2f dB, SSIM %.4f"
+            % (
+                len(quality),
+                float(np.mean([q["psnr_db"] for q in quality])),
+                float(np.mean([q["ssim"] for q in quality])),
+            )
+        )
     return results
 
 

@@ -309,14 +309,20 @@ def main(cfg) -> Optional[TrainState]:
                 batch = synthetic_batch(enc_rng, host_batch, latent, tokens)
             batch = shard_batch(jax.tree.map(np.asarray, batch), mesh)
             state, metrics = train_step(state, batch, step_rng)
+            # keep the loss on device: a float() here would sync the host to
+            # the step and defeat async dispatch; per-step wandb points are
+            # flushed (step-tagged) at each log_every boundary instead.
             running.append(metrics["loss"])
-            wandb.log({"loss": float(metrics["loss"])}) if cfg.get("wandb") else None
             train_steps += 1
             profiler.step(train_steps)
             throughput.tick()
 
             if train_steps % log_every == 0:
                 losses = np.asarray(jax.device_get(running), np.float32)
+                if cfg.get("wandb"):
+                    first = train_steps - len(losses) + 1
+                    for j, v in enumerate(losses):
+                        wandb.log({"loss": float(v)}, step=first + j)
                 tp = throughput.report()
                 logger.info(
                     f"(step={train_steps:07d}) Train Loss: "

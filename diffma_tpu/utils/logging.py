@@ -67,9 +67,9 @@ class WandbShim:
             except Exception:
                 pass
 
-    def log(self, data: dict) -> None:
+    def log(self, data: dict, step: Optional[int] = None) -> None:
         if self._w is not None:
-            self._w.log(data)
+            self._w.log(data, step=step)
 
     def finish(self) -> None:
         if self._w is not None:

@@ -44,9 +44,12 @@ class StepProfiler:
         """Call once per training step with the global step number."""
         if not self.enabled:
             return
-        if not self._active and step == self.start_step:
+        # >= so the window still fires when training resumes from a
+        # checkpoint past start_step; stop is re-anchored to the actual start.
+        if not self._active and step >= self.start_step:
             jax.profiler.start_trace(self.dir)
             self._active = True
+            self.stop_step = step + (self.stop_step - self.start_step)
         elif self._active and step >= self.stop_step:
             jax.profiler.stop_trace()
             self._active = False

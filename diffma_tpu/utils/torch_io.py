@@ -150,11 +150,12 @@ def _resnet(sd, key):
 
 
 def _sd_attn(sd, key):
-    names = (
-        ("group_norm", "to_q", "to_k", "to_v", "to_out.0")
-        if f"{key}.to_q.weight" in sd
-        else ("norm", "q", "k", "v", "proj_out")  # CompVis naming
-    )
+    if f"{key}.to_q.weight" in sd:
+        names = ("group_norm", "to_q", "to_k", "to_v", "to_out.0")
+    elif f"{key}.query.weight" in sd:  # legacy diffusers AutoencoderKL .bin
+        names = ("group_norm", "query", "key", "value", "proj_attn")
+    else:
+        names = ("norm", "q", "k", "v", "proj_out")  # CompVis naming
     return {
         "norm": _norm(sd, f"{key}.{names[0]}"),
         "q": _dense(sd, f"{key}.{names[1]}"),

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow'
+
 from diffma_tpu.models.decode import (
     allocate_mamba2_cache,
     allocate_mamba_cache,

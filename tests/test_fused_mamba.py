@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow'
+
 from diffma_tpu.models.mamba import Mamba
 from diffma_tpu.ops.fused_mamba import _fused_ref, mamba_inner_fused
 from diffma_tpu.ops.scan_orders import ScanSpec

@@ -10,6 +10,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow'
+
 if jax.device_count() < 8:
     # DIFFMA_TEST_TPU=1 runs on the single real chip; the mesh tests need the
     # virtual 8-device CPU harness from conftest.

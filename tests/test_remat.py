@@ -1,6 +1,9 @@
 """Rematerialisation: remat=True must change memory, not math."""
 
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow'
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,6 +1,9 @@
 """Smoke tests for the sampling and embedder pipelines (synthetic, tiny)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow'
 
 import jax
 import jax.numpy as jnp

@@ -92,6 +92,7 @@ def test_assoc_grads_match_ref():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # interpret-mode Pallas backward on CPU is minutes-long
 @pytest.mark.parametrize("gated", [True, False])
 def test_pallas_grads_match_ref(gated):
     u, delta, A, B, C, D, z = _make_inputs(G=2, L=28, d=16, n=4)

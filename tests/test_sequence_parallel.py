@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow'
+
 if jax.device_count() < 8:
     pytest.skip("needs the 8-device virtual mesh", allow_module_level=True)
 

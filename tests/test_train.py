@@ -8,6 +8,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # deselect with -m 'not slow'
+
 from diffma_tpu.diffusion import create_diffusion
 from diffma_tpu.models.diffma import DiffMa
 from diffma_tpu.train.state import TrainState, make_train_step, update_ema
