@@ -166,6 +166,22 @@ class Mamba(nn.Module):
                 u, delta, A, B_ssm, C_ssm, D, z=z, impl=self.scan_impl
             )
 
+        out_proj = nn.Dense(
+            self.d_model, use_bias=False, kernel_init=xavier, dtype=self.dtype,
+            name="out_proj",
+        )
+
+        if spec.mamba1_vim_quirk:
+            # Reference Mamba1 'vim' merge bug (block/mamba.py:362-367): the
+            # reverse stream is left in reversed token order and its *output
+            # features* are flipped before averaging.  flip_D(y @ W) ==
+            # y @ flip(W, out_axis), so run out_proj per stream and reverse
+            # the second stream's output columns.
+            ys = y.reshape(B_, S, Ls, d_in).astype(self.dtype)
+            o1 = out_proj(ys[:, 0])
+            o2 = out_proj(ys[:, 1])[..., ::-1]
+            return (o1 + o2) * spec.scale
+
         # Scatter-add merge (pre-out_proj; out_proj has no bias).
         merge = jnp.asarray(np.ascontiguousarray(spec.merge))  # (L, k)
         ys = y.reshape(B_, S * Ls, d_in)
@@ -174,7 +190,4 @@ class Mamba(nn.Module):
         )
         merged = jnp.sum(merged, axis=2) * spec.scale
 
-        return nn.Dense(
-            self.d_model, use_bias=False, kernel_init=xavier, dtype=self.dtype,
-            name="out_proj",
-        )(merged.astype(self.dtype))
+        return out_proj(merged.astype(self.dtype))
