@@ -18,7 +18,14 @@ Protocol (matches BASELINE.json: "images/sec/chip (DiffMa-B/2, 224^2,
     which bounds it to a few images/sec; 2.0 img/s is a deliberately
     generous estimate.  BASELINE.json's target is >=5x that.
 
-Also measures train steps/sec (B/2, global batch 8) as an aux field.
+Aux fields: Mamba2/SSD sampling headline (--use-mamba2 protocol), train
+steps/sec (B/2, global batch 8), analytic model-FLOP utilisation (`mfu`)
+against the device's peak (the denoiser's matmul+scan FLOPs only; VAE decode
+and gathers excluded, so it is a *lower bound* on achieved FLOP/s).
+
+Timing hygiene: results are fetched with np.asarray per timed region --
+under the axon TPU tunnel, block_until_ready() does not reliably wait for
+completion (device-side queue), while a literal fetch does.
 """
 
 import json
@@ -32,15 +39,64 @@ A100_BASELINE_IMG_S = 2.0  # estimated upstream A100 sampling throughput
 BATCH = 8
 STEPS = 250
 
+# Peak dense bf16 matmul FLOP/s per chip (for the analytic-MFU aux field).
+_PEAK_FLOPS = {
+    "v5 lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,  # trillium
+}
+
+
+def _device_peak_flops() -> float:
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, peak in _PEAK_FLOPS.items():
+        if key in kind:
+            return peak
+    return 0.0
+
+
+def _fetch(tree):
+    """Force completion + host fetch (see timing-hygiene note above)."""
+    return np.asarray(jax.tree.leaves(tree)[0])
+
+
+def _time_sampler(model, params, vae, vae_vars, diffusion, cond):
+    from diffma_tpu.models.vae import SD_VAE_SCALE, AutoencoderKL
+
+    @jax.jit
+    def sample(params, rng, z, y, y2, w):
+        def model_fn(x, t, **kw):
+            return model.apply({"params": params}, x, t, **kw).astype(jnp.float32)
+
+        lat = diffusion.p_sample_loop(
+            model_fn, z.shape, rng, noise=z, clip_denoised=False,
+            model_kwargs={"y": y, "y2": y2, "w": w},
+        )
+        return vae.apply(vae_vars, lat / SD_VAE_SCALE, method=AutoencoderKL.decode)
+
+    latent = cond["z"].shape[-1]
+    z = jax.random.normal(jax.random.PRNGKey(4), (BATCH, 4, latent, latent))
+    args = (params, jax.random.PRNGKey(5), z, cond["y"], cond["y2"], cond["w"])
+    _fetch(sample(*args))  # compile + warm
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = sample(*args)
+    _fetch(out)
+    return (time.time() - t0) / reps
+
 
 def main():
     import optax
 
     from diffma_tpu.diffusion import create_diffusion
     from diffma_tpu.models.diffma import build_model
-    from diffma_tpu.models.vae import SD_VAE_SCALE, AutoencoderKL
+    from diffma_tpu.models.vae import AutoencoderKL
     from diffma_tpu.train.state import TrainState, make_train_step
     from diffma_tpu.train.train import make_loss_fn, synthetic_batch
+    from diffma_tpu.utils.profiling import model_flops
 
     latent, tokens = 28, 196
     # Inference uses the fully fused mixer kernel (conv+projections+scan+gate
@@ -63,30 +119,30 @@ def main():
     )
 
     diffusion = create_diffusion(str(STEPS))
-
-    @jax.jit
-    def sample(params, rng, z, y, y2, w):
-        def model_fn(x, t, **kw):
-            return model.apply({"params": params}, x, t, **kw).astype(jnp.float32)
-
-        lat = diffusion.p_sample_loop(
-            model_fn, z.shape, rng, noise=z, clip_denoised=False,
-            model_kwargs={"y": y, "y2": y2, "w": w},
-        )
-        return vae.apply(vae_vars, lat / SD_VAE_SCALE, method=AutoencoderKL.decode)
-
-    z = jax.random.normal(jax.random.PRNGKey(4), (BATCH, 4, latent, latent))
-    args = (params, jax.random.PRNGKey(5), z, cond["y"], cond["y2"], cond["w"])
-    sample(*args)[0].block_until_ready()  # compile
-    t0 = time.time()
-    reps = 3
-    for i in range(reps):
-        out = sample(*args)
-    out.block_until_ready()
-    sample_time = (time.time() - t0) / reps
+    sample_time = _time_sampler(model, params, vae, vae_vars, diffusion, cond)
     img_s = BATCH / sample_time
 
-    # --- train steps/sec (aux) ------------------------------------------------
+    # Analytic MFU of the sampling run: STEPS denoiser calls x batch, against
+    # peak bf16 matmul FLOP/s (0.0 when the device kind is unknown).
+    flops_fwd = model_flops(depth=8, hidden=512, tokens=tokens)
+    peak = _device_peak_flops()
+    sample_mfu = (
+        round(STEPS * BATCH * flops_fwd / sample_time / peak, 4) if peak else None
+    )
+
+    # --- Mamba2/SSD headline (aux): same protocol, --use-mamba2 backbone ----
+    model2 = build_model(
+        "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16,
+        use_mamba2=True,
+    )
+    params2 = model2.init(
+        jax.random.PRNGKey(1), cond["z"], jnp.zeros((BATCH,), jnp.int32),
+        cond["y"], cond["y2"], cond["w"],
+    )["params"]
+    sample_time2 = _time_sampler(model2, params2, vae, vae_vars, diffusion, cond)
+    img_s_mamba2 = BATCH / sample_time2
+
+    # --- train steps/sec (aux) ---------------------------------------------
     model = build_model(
         "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16
     )
@@ -102,13 +158,18 @@ def main():
         donate_argnums=(0,),
     )
     state, m = step(state, cond, jax.random.PRNGKey(6))
-    jax.block_until_ready(m["loss"])
+    _fetch(m["loss"])
     t0 = time.time()
     reps_t = 10
     for i in range(reps_t):
         state, m = step(state, cond, jax.random.fold_in(jax.random.PRNGKey(7), i))
-    jax.block_until_ready(m["loss"])
-    steps_s = reps_t / (time.time() - t0)
+    _fetch(m["loss"])
+    train_time = (time.time() - t0) / reps_t
+    steps_s = 1.0 / train_time
+    # fwd + bwd ~= 3x fwd FLOPs
+    train_mfu = (
+        round(3 * BATCH * flops_fwd / train_time / peak, 4) if peak else None
+    )
 
     print(
         json.dumps(
@@ -117,7 +178,12 @@ def main():
                 "value": round(img_s, 3),
                 "unit": "img/s",
                 "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 2),
+                "mamba2_images_per_sec": round(img_s_mamba2, 3),
+                "mamba2_vs_baseline": round(img_s_mamba2 / A100_BASELINE_IMG_S, 2),
                 "train_steps_per_sec_bs8": round(steps_s, 3),
+                "sample_mfu": sample_mfu,
+                "train_mfu": train_mfu,
+                "model_flops_fwd": flops_fwd,
                 "sample_batch": BATCH,
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),
