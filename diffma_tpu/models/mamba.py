@@ -23,17 +23,20 @@ restores the upstream mamba_ssm init for standalone use.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
 from diffma_tpu.ops.scan_orders import ScanSpec
 from diffma_tpu.ops.selective_scan import selective_scan
 from diffma_tpu.ops.conv import causal_conv1d
 from diffma_tpu.ops.fused_mamba import mamba_inner_fused
+from diffma_tpu.ops.fused_mixer import mamba_mixer_fused, mixer_fused_eligible
 
 __all__ = ["Mamba"]
 
@@ -86,7 +89,24 @@ def _dt_bias_init(dt_min: float = 0.001, dt_max: float = 0.1, floor: float = 1e-
 
 
 class Mamba(nn.Module):
-    """Selective-scan mixer.  ``__call__(x, spec)`` with x (B, L, d_model)."""
+    """Selective-scan mixer.  ``__call__(x, spec)`` with x (B, L, d_model).
+
+    Parallelism (TPU-native realisation of the reference's latent TP/SP
+    hooks, block/mamba2.py:305-307,355-357,708-710 -- Mamba1 upstream has
+    none, so this is a capability extension):
+
+    * ``tp_axis``: tensor parallelism over ``mesh[tp_axis]`` via shard_map.
+      Each shard owns a contiguous d_inner slice; conv, scan and gating run
+      on sharded activations; the only non-trivial collectives are one tiny
+      psum of the (rank+2n)-wide x_proj output (x_proj mixes all of d_inner,
+      which the reference's column-split cannot avoid either) and THE psum
+      at out_proj (the RowParallel epilogue).  Mixer weights stay replicated
+      (a deliberate trade: <=2 MB per projection at hidden=512; TP here buys
+      compute/activation sharding, not parameter memory).
+    * ``sp_axis``: sequence parallelism; the scan runs through
+      ``parallel/sequence.py`` with one length-independent state-summary
+      all-gather over the axis.
+    """
 
     d_model: int
     d_state: int = 16
@@ -95,6 +115,9 @@ class Mamba(nn.Module):
     dt_rank: Optional[int] = None  # None => ceil(d_model/16) (block/mamba.py:257)
     init_style: str = "diffma"  # 'diffma' (effective ref init) | 'mamba'
     scan_impl: str = "auto"
+    mesh: Optional[Mesh] = None
+    tp_axis: Optional[str] = None
+    sp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -105,9 +128,13 @@ class Mamba(nn.Module):
     def rank(self) -> int:
         return self.dt_rank if self.dt_rank is not None else math.ceil(self.d_model / 16)
 
+    def _axis_size(self, axis: Optional[str]) -> int:
+        if axis is None or self.mesh is None:
+            return 1
+        return self.mesh.shape[axis]
+
     @nn.compact
     def __call__(self, x: jax.Array, spec: ScanSpec) -> jax.Array:
-        B_, L, _ = x.shape
         d_in, n, r = self.d_inner, self.d_state, self.rank
         xavier = nn.initializers.xavier_uniform()
         if self.init_style == "diffma":
@@ -115,17 +142,7 @@ class Mamba(nn.Module):
         else:
             dt_w_init, dt_b_init = _dt_proj_weight_init(r), _dt_bias_init()
 
-        xz = nn.Dense(
-            2 * d_in, use_bias=False, kernel_init=xavier, dtype=self.dtype,
-            name="in_proj",
-        )(x.astype(self.dtype))
-
-        # Fan out into scan streams and fold them into the batch axis.
-        fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))  # (S, Ls)
-        xs = jnp.take(xz, fwd.reshape(-1), axis=1)  # (B, S*Ls, 2*d_in)
-        S, Ls = spec.fwd.shape
-        xs = xs.reshape(B_ * S, Ls, 2 * d_in)
-
+        in_w = _Kernel((self.d_model, 2 * d_in), xavier, name="in_proj")()
         conv_w = self.param("conv1d_weight", _conv_init_torch, (d_in, self.d_conv))
         # torch Conv1d bias bound uses the weight's fan_in (= K, depthwise).
         conv_b = self.param(
@@ -148,28 +165,110 @@ class Mamba(nn.Module):
             (d_in, n),
         )
         D = self.param("D", nn.initializers.ones, (d_in,), jnp.float32)
-        A = -jnp.exp(A_log.astype(jnp.float32))
+        out_w = _Kernel((d_in, self.d_model), xavier, name="out_proj")()
+        weights = (in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A_log, D, out_w)
 
-        if self.scan_impl == "fused":
-            # One Pallas kernel: conv -> projections -> scan -> gate.
+        if self._axis_size(self.tp_axis) > 1:
+            if self._axis_size(self.sp_axis) > 1:
+                raise NotImplementedError("tp+sp composition in one Mamba1 mixer")
+            fn = jax.shard_map(
+                partial(self._forward, spec=spec, tp=True),
+                mesh=self.mesh,
+                in_specs=(P(),) * (1 + len(weights)),
+                out_specs=P(),
+                axis_names={self.tp_axis},
+            )
+            return fn(x, *weights)
+        return self._forward(x, *weights, spec=spec)
+
+    def _forward(
+        self, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A_log, D, out_w,
+        spec: ScanSpec, tp: bool = False,
+    ) -> jax.Array:
+        """Mixer body.  With ``tp=True`` it runs per tensor-parallel shard
+        (under shard_map): every weight is sliced to this shard's contiguous
+        d_inner range, activations stay sharded through conv/scan/gate, and
+        the only collectives are the tiny x_proj psum and the out_proj psum."""
+        B_, L, _ = x.shape
+        d_in, n, r = self.d_inner, self.d_state, self.rank
+        cd = self.dtype
+        S, Ls = spec.fwd.shape
+
+        if (
+            self.scan_impl == "fused"
+            and not tp
+            and self._axis_size(self.sp_axis) == 1
+            and mixer_fused_eligible(spec)
+        ):
+            # Whole mixer (in_proj -> streams -> scan -> merge -> out_proj)
+            # in one Pallas kernel; permutations ride the MXU as one-hot
+            # matmuls and nothing but x/out touches HBM.
+            return mamba_mixer_fused(
+                spec, x.astype(cd), in_w, conv_w, conv_b, xp_w, dt_w, dt_b,
+                -jnp.exp(A_log.astype(jnp.float32)), D, out_w,
+            )
+
+        if tp:
+            ntp = self._axis_size(self.tp_axis)
+            d_l = d_in // ntp
+            assert d_l * ntp == d_in, (d_in, ntp)
+            s_idx = jax.lax.axis_index(self.tp_axis)
+            off = s_idx * d_l
+            sl = lambda w, axis: jax.lax.dynamic_slice_in_dim(w, off, d_l, axis)
+            Wu = sl(in_w, 1)
+            Wz = jax.lax.dynamic_slice_in_dim(in_w, d_in + off, d_l, 1)
+            conv_w, conv_b = sl(conv_w, 0), sl(conv_b, 0)
+            xp_w = sl(xp_w, 0)
+            dt_w, dt_b = sl(dt_w, 1), sl(dt_b, 0)
+            A_log, D, out_w = sl(A_log, 0), sl(D, 0), sl(out_w, 0)
+            xc = x.astype(cd)
+            u_full = jnp.dot(xc, Wu.astype(cd))
+            z_full = jnp.dot(xc, Wz.astype(cd))
+            xz = jnp.concatenate([u_full, z_full], axis=-1)
+            d_eff = d_l
+        else:
+            xz = jnp.dot(x.astype(cd), in_w.astype(cd))
+            d_eff = d_in
+
+        # Fan out into scan streams and fold them into the batch axis.
+        fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))  # (S, Ls)
+        xs = jnp.take(xz, fwd.reshape(-1), axis=1)
+        xs = xs.reshape(B_ * S, Ls, 2 * d_eff)
+
+        A = -jnp.exp(A_log.astype(jnp.float32))
+        if self.scan_impl == "fused" and not tp:
+            # One Pallas kernel: conv -> projections -> scan -> gate.  (The
+            # fused kernel computes x_proj from all of d_inner internally, so
+            # it cannot run on a tp shard.)
             y = mamba_inner_fused(xs, conv_w, conv_b, xp_w, dt_w, dt_b, A, D)
         else:
             u, z = jnp.split(xs, 2, axis=-1)
             u = causal_conv1d(u, conv_w, conv_b, activation="silu")
             x_dbl = jnp.dot(u, xp_w.astype(u.dtype))
+            if tp:
+                # x_proj mixes the whole d_inner axis: psum the partials
+                # ((B*S, Ls, r+2n) -- tiny).
+                x_dbl = jax.lax.psum(x_dbl, self.tp_axis)
             dt_r, B_ssm, C_ssm = jnp.split(x_dbl, [r, r + n], axis=-1)
             delta = (
                 jnp.dot(dt_r.astype(jnp.float32), dt_w.astype(jnp.float32))
                 + dt_b.astype(jnp.float32)
             )
-            y = selective_scan(
-                u, delta, A, B_ssm, C_ssm, D, z=z, impl=self.scan_impl
-            )
+            impl = "auto" if (tp and self.scan_impl == "fused") else self.scan_impl
+            if not tp and self._axis_size(self.sp_axis) > 1:
+                from diffma_tpu.parallel.sequence import (
+                    selective_scan_sequence_parallel,
+                )
 
-        out_proj = nn.Dense(
-            self.d_model, use_bias=False, kernel_init=xavier, dtype=self.dtype,
-            name="out_proj",
-        )
+                y = selective_scan_sequence_parallel(
+                    u, delta, A, B_ssm, C_ssm, D, mesh=self.mesh,
+                    axis=self.sp_axis, z=z,
+                )
+            else:
+                y = selective_scan(u, delta, A, B_ssm, C_ssm, D, z=z, impl=impl)
+
+        psum = (lambda t: jax.lax.psum(t, self.tp_axis)) if tp else (lambda t: t)
+        ow = out_w.astype(cd)
 
         if spec.mamba1_vim_quirk:
             # Reference Mamba1 'vim' merge bug (block/mamba.py:362-367): the
@@ -177,17 +276,15 @@ class Mamba(nn.Module):
             # features* are flipped before averaging.  flip_D(y @ W) ==
             # y @ flip(W, out_axis), so run out_proj per stream and reverse
             # the second stream's output columns.
-            ys = y.reshape(B_, S, Ls, d_in).astype(self.dtype)
-            o1 = out_proj(ys[:, 0])
-            o2 = out_proj(ys[:, 1])[..., ::-1]
-            return (o1 + o2) * spec.scale
+            ys = y.reshape(B_, S, Ls, d_eff).astype(cd)
+            o = jnp.dot(ys[:, 0], ow) + jnp.dot(ys[:, 1], ow)[..., ::-1]
+            return psum(o * spec.scale)
 
         # Scatter-add merge (pre-out_proj; out_proj has no bias).
         merge = jnp.asarray(np.ascontiguousarray(spec.merge))  # (L, k)
-        ys = y.reshape(B_, S * Ls, d_in)
+        ys = y.reshape(B_, S * Ls, d_eff)
         merged = jnp.take(ys, merge.reshape(-1), axis=1).reshape(
-            B_, L, merge.shape[1], d_in
+            B_, L, merge.shape[1], d_eff
         )
         merged = jnp.sum(merged, axis=2) * spec.scale
-
-        return out_proj(merged.astype(self.dtype))
+        return psum(jnp.dot(merged.astype(cd), ow))

@@ -1,0 +1,288 @@
+"""Whole-mixer fused kernel: in_proj -> streams -> scan -> merge -> out_proj.
+
+The round-1 inference kernel (ops/fused_mamba.py) fused conv->proj->scan->
+gate but still materialised the fanned-out (B*S, L, 2*d_inner) streams and
+the merged activations in HBM -- ~130 MB of traffic per mixer call at
+DiffMa-B/2 shapes, which profiling shows is where the sampler's non-scan
+third goes.  This kernel moves the *entire* mixer between the block's
+layernorm and residual into one Pallas call:
+
+    x (B, L, h) --in_proj--> xz --P_s--> stream s --conv/x_proj/dt_proj/
+    scan/gate--> y_s --P_s^T-->  merged --out_proj--> (B, L, h)
+
+with the key TPU idea that a static token permutation is a one-hot matmul:
+``xs = P_s @ xz`` and the inverse-permute merge is ``P_s^T @ y_s``, so the
+MXU performs the data movement while everything stays resident in VMEM.
+Per grid item (one batch element) HBM traffic is x in + out + (once per
+launch) the weights: ~10 MB per mixer call instead of ~130 MB.
+
+Replaces the reference dataflow at block/mamba.py:333-401 (in_proj ->
+CrossScan -> 3x mamba_inner_fn -> CrossMerge -> out_proj inside
+mamba_inner_fn) one level higher than the CUDA kernels could: upstream
+launches 3-4 sequential fused kernels plus separate permutation kernels.
+
+Eligible specs: full-length permutation streams without the Mamba1 'vim'
+feature-flip quirk -- i.e. spiral / zigma / vmamba.  ViM (quirk) and
+EfficientVMamba (quarter-length atrous partition) fall back to the
+composable path.  Differentiation recomputes through the composable path
+(``jax.custom_vjp``), exactly like the round-1 kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from diffma_tpu.ops.conv import causal_conv1d
+from diffma_tpu.ops.scan_orders import ScanSpec
+from diffma_tpu.ops.selective_scan import (
+    _CHUNK,
+    _COMPILER_PARAMS,
+    _interpret,
+    _silu,
+    selective_scan,
+)
+
+__all__ = ["mamba_mixer_fused", "mixer_fused_eligible"]
+
+
+def mixer_fused_eligible(spec: ScanSpec) -> bool:
+    """Full-length permutation streams, no vim quirk."""
+    return (
+        spec.fwd.shape[1] == spec.seq_len and not spec.mamba1_vim_quirk
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_matrices(spec: ScanSpec, Lp: int):
+    """(S, Lp, Lp) one-hot stream-permutation matrices, zero on pad rows."""
+    S, Ls = spec.fwd.shape
+    P = np.zeros((S, Lp, Lp), np.float32)
+    for s in range(S):
+        P[s, np.arange(Ls), spec.fwd[s]] = 1.0
+    return P
+
+
+def _mixer_kernel(
+    x_ref, inw_ref, convw_ref, convb_ref, xpw_ref, dtw_ref, dtb_ref,
+    AT_ref, D_ref, outw_ref, P_ref,
+    out_ref,
+    xzbuf, ubuf, dts, Bbuf, Cbuf, abuf, bbuf, hbuf, ybuf, accbuf,
+    *, L, Q, d, r, n, S, scale,
+):
+    """One batch element: the whole mixer with S unrolled streams."""
+    nq = L // Q
+    cd = x_ref.dtype
+    prec = (
+        lax.Precision.HIGHEST if cd == jnp.float32 else lax.Precision.DEFAULT
+    )
+    x = x_ref[0]  # (L, h)
+    xzbuf[...] = jnp.dot(
+        x, inw_ref[...].astype(cd), preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(cd)
+    accbuf[...] = jnp.zeros_like(accbuf)
+    K = convw_ref.shape[0]
+    AT = AT_ref[...]  # (n, d)
+
+    for s in range(S):
+        Ps = P_ref[s]  # (L, L) fp32 one-hot
+        xs = jnp.dot(
+            Ps.astype(cd), xzbuf[...], preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(cd)  # (L, 2d)
+        u0 = xs[:, :d].astype(jnp.float32)
+
+        # causal depthwise conv, K taps, zero left-pad
+        acc = u0 * convw_ref[K - 1][None, :]
+        for k in range(K - 1):
+            sh = K - 1 - k
+            shifted = jnp.concatenate(
+                [jnp.zeros((sh, d), jnp.float32), u0[: L - sh]], axis=0
+            )
+            acc = acc + shifted * convw_ref[k][None, :]
+        u = _silu(acc + convb_ref[0][None, :])  # (L, d) fp32
+        ubuf[...] = u
+
+        xdb = jnp.dot(
+            u.astype(cd), xpw_ref[...].astype(cd),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (L, r + 2n) fp32
+        delta = (
+            jnp.dot(
+                xdb[:, :r].astype(cd), dtw_ref[...].astype(cd),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            + dtb_ref[0][None, :]
+        )
+        dts[...] = jax.nn.softplus(delta)
+        Bbuf[...] = xdb[:, r : r + n]
+        Cbuf[...] = xdb[:, r + n :]
+
+        def chunk_body(c, h):
+            off = pl.multiple_of(c * Q, Q)
+            dtq = dts[pl.ds(off, Q), :]
+            uq = ubuf[pl.ds(off, Q), :]
+            Bq = Bbuf[pl.ds(off, Q), :]
+            abuf[...] = jnp.exp(dtq[:, None, :] * AT[None])
+            bbuf[...] = Bq[:, :, None] * (dtq * uq)[:, None, :]
+
+            def step(t, h):
+                h = abuf[t] * h + bbuf[t]
+                hbuf[t] = h
+                return h
+
+            h = lax.fori_loop(0, Q, step, h)
+            Cq = Cbuf[pl.ds(off, Q), :]
+            ybuf[pl.ds(off, Q), :] = jnp.sum(hbuf[...] * Cq[:, :, None], axis=1)
+            return h
+
+        lax.fori_loop(0, nq, chunk_body, jnp.zeros((n, d), jnp.float32))
+
+        y = ybuf[...] + ubuf[...] * D_ref[0][None, :]
+        z = xs[:, d:].astype(jnp.float32)
+        yg = y * _silu(z)  # (L, d) fp32
+
+        # inverse-permute merge on the MXU: acc += P_s^T @ y_s
+        accbuf[...] += lax.dot_general(
+            Ps, yg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    merged = (accbuf[...] * scale).astype(cd)
+    out_ref[0] = jnp.dot(
+        merged, outw_ref[...].astype(cd), preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_ref.dtype)
+
+
+def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
+    B_, L0, h = x.shape
+    d = A.shape[0]
+    n = A.shape[1]
+    r = dt_w.shape[0]
+    S = spec.fwd.shape[0]
+    Q = _CHUNK
+    L = ((L0 + Q - 1) // Q) * Q
+    if L != L0:
+        x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
+    P = jnp.asarray(_perm_matrices(spec, L))
+    AT = jnp.transpose(A.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _mixer_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S, scale=float(spec.scale)
+    )
+    const = lambda i: tuple(0 for _ in range(2))  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(B_,),
+        in_specs=[
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 2 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((conv_w.shape[1], d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, r + 2 * n), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B_, L, h), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L, 2 * d), x.dtype),  # xzbuf
+            pltpu.VMEM((L, d), jnp.float32),  # ubuf
+            pltpu.VMEM((L, d), jnp.float32),  # dts
+            pltpu.VMEM((L, n), jnp.float32),  # Bbuf
+            pltpu.VMEM((L, n), jnp.float32),  # Cbuf
+            pltpu.VMEM((Q, n, d), jnp.float32),  # abuf
+            pltpu.VMEM((Q, n, d), jnp.float32),  # bbuf
+            pltpu.VMEM((Q, n, d), jnp.float32),  # hbuf
+            pltpu.VMEM((L, d), jnp.float32),  # ybuf
+            pltpu.VMEM((L, d), jnp.float32),  # accbuf
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(
+        x,
+        in_w,
+        jnp.transpose(conv_w.astype(jnp.float32)),  # (K, d)
+        conv_b.astype(jnp.float32)[None, :],
+        xp_w,
+        dt_w,
+        dt_b.astype(jnp.float32)[None, :],
+        AT,
+        D.astype(jnp.float32)[None, :],
+        out_w,
+        P,
+    )
+    return out[:, :L0] if L != L0 else out
+
+
+def _mixer_ref(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
+    """Composable-path reference (differentiable); the bwd recompute target.
+    Mirrors Mamba._forward's non-fused math exactly."""
+    B_, L, _ = x.shape
+    cd = x.dtype
+    d = A.shape[0]
+    n = A.shape[1]
+    r = dt_w.shape[0]
+    S, Ls = spec.fwd.shape
+
+    xz = jnp.dot(x, in_w.astype(cd))
+    fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
+    xs = jnp.take(xz, fwd.reshape(-1), axis=1).reshape(B_ * S, Ls, 2 * d)
+    u, z = jnp.split(xs, 2, axis=-1)
+    u = causal_conv1d(u, conv_w, conv_b, activation="silu")
+    x_dbl = jnp.dot(u, xp_w.astype(u.dtype))
+    dt_r, B_ssm, C_ssm = jnp.split(x_dbl, [r, r + n], axis=-1)
+    delta = (
+        jnp.dot(dt_r.astype(jnp.float32), dt_w.astype(jnp.float32))
+        + dt_b.astype(jnp.float32)
+    )
+    y = selective_scan(
+        u, delta, A, B_ssm, C_ssm, D, z=z,
+        impl="pallas" if jax.default_backend() == "tpu" else "ref",
+    )
+    merge = jnp.asarray(np.ascontiguousarray(spec.merge))
+    ys = y.reshape(B_, S * Ls, d)
+    merged = jnp.take(ys, merge.reshape(-1), axis=1).reshape(
+        B_, L, merge.shape[1], d
+    )
+    merged = jnp.sum(merged, axis=2) * spec.scale
+    return jnp.dot(merged.astype(cd), out_w.astype(cd))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def mamba_mixer_fused(
+    spec: ScanSpec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w
+):
+    """Whole mixer in one kernel: ``x (B, L, h) -> (B, L, h)``.
+
+    ``spec`` must satisfy ``mixer_fused_eligible``.  Weight layouts match the
+    Flax params (input-major).  Backward recomputes through the composable
+    path."""
+    return _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w)
+
+
+def _vjp_fwd(spec, *args):
+    return _fwd_impl(spec, *args), args
+
+
+def _vjp_bwd(spec, res, g):
+    out, vjp = jax.vjp(functools.partial(_mixer_ref, spec), *res)
+    return vjp(g.astype(out.dtype))
+
+
+mamba_mixer_fused.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,107 @@
+"""Block-level fused mixer kernel (ops/fused_mixer.py) parity tests.
+
+The kernel runs in_proj -> one-hot-matmul stream permutation -> conv ->
+projections -> chunked scan -> gate -> inverse-permute merge -> out_proj in
+one Pallas call (interpret mode off-TPU); it must match the composable
+reference path in values and (through the recompute VJP) gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffma_tpu.ops.fused_mixer import (
+    _mixer_ref,
+    mamba_mixer_fused,
+    mixer_fused_eligible,
+)
+from diffma_tpu.ops.scan_orders import build_scan_spec
+
+
+def _args(seed=0, B=2, L=16, h=32, d=64, n=8, r=4, K=4, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 10)
+    x = jax.random.normal(ks[0], (B, L, h), dtype)
+    in_w = jax.random.normal(ks[1], (h, 2 * d)) * 0.1
+    conv_w = jax.random.normal(ks[2], (d, K)) * 0.3
+    conv_b = jax.random.normal(ks[3], (d,)) * 0.1
+    xp_w = jax.random.normal(ks[4], (d, r + 2 * n)) * 0.1
+    dt_w = jax.random.normal(ks[5], (r, d)) * 0.2
+    dt_b = jax.random.normal(ks[6], (d,)) * 0.1
+    A = -jnp.exp(jax.random.normal(ks[7], (d, n)) * 0.3)
+    D = jax.random.normal(ks[8], (d,))
+    out_w = jax.random.normal(ks[9], (d, h)) * 0.1
+    return (x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w)
+
+
+def test_eligibility():
+    assert mixer_fused_eligible(build_scan_spec("spiral", 4, 0))
+    assert mixer_fused_eligible(build_scan_spec("zig", 4, 2))
+    assert mixer_fused_eligible(build_scan_spec("vmamba", 4, 0))
+    assert not mixer_fused_eligible(build_scan_spec("vim", 4, 0))  # quirk
+    assert not mixer_fused_eligible(build_scan_spec("eff", 4, 0))  # partition
+
+
+@pytest.mark.parametrize(
+    "block_type,layer", [("spiral", 0), ("spiral", 3), ("zig", 1), ("vmamba", 0)]
+)
+def test_forward_matches_composable(block_type, layer):
+    spec = build_scan_spec(block_type, 4, layer)
+    args = _args(seed=layer)
+    got = np.asarray(mamba_mixer_fused(spec, *args))
+    want = np.asarray(_mixer_ref(spec, *args))
+    tol = 2e-5 if jax.default_backend() != "tpu" else 5e-4
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_unpadded_length():
+    """L=25 is not a multiple of the kernel chunk; pads must not leak."""
+    spec = build_scan_spec("zig", 5, 1)  # L=25
+    args = _args(B=1, L=25)
+    got = np.asarray(mamba_mixer_fused(spec, *args))
+    want = np.asarray(_mixer_ref(spec, *args))
+    tol = 2e-5 if jax.default_backend() != "tpu" else 5e-4
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+@pytest.mark.slow
+def test_grads_match_composable():
+    spec = build_scan_spec("spiral", 4, 0)
+    args = _args()
+    argnums = tuple(range(len(args)))
+    g1 = jax.grad(
+        lambda *a: jnp.sum(jnp.tanh(mamba_mixer_fused(spec, *a))), argnums=argnums
+    )(*args)
+    g2 = jax.grad(
+        lambda *a: jnp.sum(jnp.tanh(_mixer_ref(spec, *a))), argnums=argnums
+    )(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_bf16_close_to_fp32():
+    spec = build_scan_spec("spiral", 4, 0)
+    args32 = _args()
+    ref = np.asarray(_mixer_ref(spec, *args32), np.float32)
+    args16 = (args32[0].astype(jnp.bfloat16),) + args32[1:]
+    got = np.asarray(mamba_mixer_fused(spec, *args16), np.float32)
+    scale = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).mean() / scale < 0.05
+
+
+def test_model_fused_matches_auto():
+    """Mamba module with scan_impl='fused' routes through the block kernel
+    and must match scan_impl='auto'."""
+    from diffma_tpu.models.mamba import Mamba
+
+    spec = build_scan_spec("spiral", 4, 1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    m_auto = Mamba(d_model=32, d_state=8, scan_impl="auto")
+    m_fused = Mamba(d_model=32, d_state=8, scan_impl="fused")
+    params = m_auto.init(jax.random.PRNGKey(1), x, spec)
+    want = np.asarray(m_auto.apply(params, x, spec))
+    got = np.asarray(m_fused.apply(params, x, spec))
+    tol = 2e-5 if jax.default_backend() != "tpu" else 5e-4
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
