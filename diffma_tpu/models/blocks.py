@@ -44,11 +44,13 @@ __all__ = [
 ]
 
 
-def _mixer(use_mamba2, d_model, d_state, dtype, scan_impl, name):
+def _mixer(use_mamba2, d_model, d_state, dtype, scan_impl, name,
+           mesh=None, tp_axis=None, sp_axis=None):
     cls = Mamba2 if use_mamba2 else Mamba
     return cls(
         d_model=d_model, d_state=d_state, d_conv=4, expand=2,
-        dtype=dtype, scan_impl=scan_impl, name=name,
+        dtype=dtype, scan_impl=scan_impl, mesh=mesh, tp_axis=tp_axis,
+        sp_axis=sp_axis, name=name,
     )
 
 
@@ -86,6 +88,9 @@ class SpiralMambaBlock(nn.Module):
     d_state: int = 16
     use_mamba2: bool = False
     scan_impl: str = "auto"
+    mesh: Optional[object] = None
+    tp_axis: Optional[str] = None
+    sp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,11 +101,11 @@ class SpiralMambaBlock(nn.Module):
 
         x_ssm = _mixer(
             self.use_mamba2, self.hidden, self.d_state, self.dtype,
-            self.scan_impl, "mamba1",
+            self.scan_impl, "mamba1", self.mesh, self.tp_axis, self.sp_axis,
         )(x_mod, spec)
         w_ssm = _mixer(
             self.use_mamba2, self.hidden, self.d_state, self.dtype,
-            self.scan_impl, "mamba2",
+            self.scan_impl, "mamba2", self.mesh, self.tp_axis, self.sp_axis,
         )(w_ssm_in, spec)
 
         # Learned spatial mixing of the two branches
@@ -128,6 +133,9 @@ class _SingleMixerBlock(nn.Module):
     d_state: int = 16
     use_mamba2: bool = False
     scan_impl: str = "auto"
+    mesh: Optional[object] = None
+    tp_axis: Optional[str] = None
+    sp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -137,7 +145,7 @@ class _SingleMixerBlock(nn.Module):
         x_mod = modulate(_AffineLN(self.hidden, name="norm1")(x), shift, scale)
         y = _mixer(
             self.use_mamba2, self.hidden, self.d_state, self.dtype,
-            self.scan_impl, "mamba",
+            self.scan_impl, "mamba", self.mesh, self.tp_axis, self.sp_axis,
         )(x_mod, spec)
         return x + gate[:, None, :] * y
 

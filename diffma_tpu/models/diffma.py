@@ -69,6 +69,9 @@ class DiffMa(nn.Module):
     use_mamba2: bool = False
     scan_impl: str = "auto"
     remat: bool = False  # rematerialise blocks: trade FLOPs for HBM at depth
+    mesh: Optional[object] = None  # jax Mesh; required for tp_axis/sp_axis
+    tp_axis: Optional[str] = None  # tensor-parallel mesh axis for the mixers
+    sp_axis: Optional[str] = None  # sequence-parallel mesh axis for the scans
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -93,6 +96,7 @@ class DiffMa(nn.Module):
         return cls(
             hidden=self.hidden_size, d_state=self.d_state,
             use_mamba2=self.use_mamba2, scan_impl=self.scan_impl,
+            mesh=self.mesh, tp_axis=self.tp_axis, sp_axis=self.sp_axis,
             dtype=self.dtype, name=f"block_{i}",
         )
 

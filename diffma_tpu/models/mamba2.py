@@ -25,11 +25,14 @@ biases) with the non-Linear specials kept: dt_bias softplus-inverse init
 from __future__ import annotations
 
 import math
+from functools import partial
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
 from diffma_tpu.ops.conv import causal_conv1d
 from diffma_tpu.ops.norm import rms_norm_gated
@@ -61,8 +64,34 @@ def _A_log_init(a_min=1.0, a_max=16.0):
     return init
 
 
+class _Kernel(nn.Module):
+    """Bare kernel param with the same tree entry as a bias-free nn.Dense."""
+
+    shape: tuple
+    kernel_init: object
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.kernel_init, self.shape, jnp.float32)
+
+
 class Mamba2(nn.Module):
-    """SSD mixer.  ``__call__(u, spec)`` with u (B, L, d_model)."""
+    """SSD mixer.  ``__call__(u, spec)`` with u (B, L, d_model).
+
+    Parallelism (TPU-native realisation of the reference's latent hooks,
+    block/mamba2.py:305-307,355-357,708-710 -- which upstream can never
+    enable for its own configs: ColumnParallelLinear asserts
+    ``ngroups % world_size == 0`` with ngroups=1):
+
+    * ``tp_axis``: heads sharded over ``mesh[tp_axis]`` via shard_map.  Each
+      shard computes its own (tiny, 2*n-wide) copy of the shared B/C
+      projections, so conv, SSD scan and gating run entirely on sharded
+      activations; collectives are one tiny psum of the gated-RMSNorm
+      sum-of-squares (the norm group spans all of d_inner upstream) and THE
+      out_proj psum (the RowParallel epilogue).  Weights stay replicated.
+    * ``sp_axis``: sequence parallelism through ``parallel/sequence.py``
+      (one state-summary all-gather per mixer, length-independent).
+    """
 
     d_model: int
     d_state: int = 16  # blocks pass the config value (block/mamba_block.py:42)
@@ -74,6 +103,9 @@ class Mamba2(nn.Module):
     dt_limit: tuple = (0.0, float("inf"))
     norm_eps: float = 1e-5
     scan_impl: str = "auto"  # reserved (chunked JAX path is MXU-native)
+    mesh: Optional[Mesh] = None
+    tp_axis: Optional[str] = None
+    sp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -85,29 +117,23 @@ class Mamba2(nn.Module):
         assert self.d_inner % self.headdim == 0
         return self.d_inner // self.headdim
 
+    def _axis_size(self, axis: Optional[str]) -> int:
+        if axis is None or self.mesh is None:
+            return 1
+        return self.mesh.shape[axis]
+
     @nn.compact
     def __call__(self, u: jax.Array, spec: ScanSpec) -> jax.Array:
-        B_, L, _ = u.shape
         d_in = self.d_inner
         n = self.d_state
-        H, P = self.nheads, self.headdim
+        H = self.nheads
         g = self.ngroups
+        assert g == 1, "ngroups>1 not required by any reference config"
         conv_dim = d_in + 2 * g * n
         d_in_proj = 2 * d_in + 2 * g * n + H
         xavier = nn.initializers.xavier_uniform()
 
-        zxbcdt = nn.Dense(
-            d_in_proj, use_bias=False, kernel_init=xavier, dtype=self.dtype,
-            name="in_proj",
-        )(u.astype(self.dtype))
-
-        fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
-        S, Ls = spec.fwd.shape
-        xs = jnp.take(zxbcdt, fwd.reshape(-1), axis=1)
-        xs = xs.reshape(B_ * S, Ls, d_in_proj)
-
-        z, xBC, dt = jnp.split(xs, [d_in, d_in + conv_dim], axis=-1)
-
+        in_w = _Kernel((self.d_model, d_in_proj), xavier, name="in_proj")()
         conv_w = self.param(
             "conv1d_weight",
             lambda k, s: jax.random.uniform(
@@ -124,41 +150,143 @@ class Mamba2(nn.Module):
             ),
             (conv_dim,),
         )
-        xBC = causal_conv1d(xBC, conv_w, conv_b, activation="silu")
-        x_ssm, B_ssm, C_ssm = jnp.split(xBC, [d_in, d_in + g * n], axis=-1)
-
         dt_bias = self.param("dt_bias", _dt_bias_init(), (H,))
         A_log = self.param("A_log", _A_log_init(), (H,))
         D = self.param("D", nn.initializers.ones, (H,), jnp.float32)
-
-        assert g == 1, "ngroups>1 not required by any reference config"
-        y = ssd_chunked(
-            x_ssm.reshape(B_ * S, Ls, H, P),
-            dt.astype(jnp.float32),
-            -jnp.exp(A_log.astype(jnp.float32)),
-            B_ssm,
-            C_ssm,
-            D,
-            dt_bias=dt_bias,
-            dt_softplus=True,
-            dt_limit=self.dt_limit,
-            chunk_size=self.chunk_size,
-        ).reshape(B_ * S, Ls, d_in)
-
         norm_w = self.param("norm_weight", nn.initializers.ones, (d_in,), jnp.float32)
-        y = rms_norm_gated(
-            y, norm_w, z, eps=self.norm_eps,
-            group_size=d_in // g, norm_before_gate=False,
+        out_w = _Kernel((d_in, self.d_model), xavier, name="out_proj")()
+        weights = (in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w)
+
+        if self._axis_size(self.tp_axis) > 1:
+            if self._axis_size(self.sp_axis) > 1:
+                raise NotImplementedError("tp+sp composition in one Mamba2 mixer")
+            fn = jax.shard_map(
+                partial(self._forward, spec=spec, tp=True),
+                mesh=self.mesh,
+                in_specs=(P(),) * (1 + len(weights)),
+                out_specs=P(),
+                axis_names={self.tp_axis},
+            )
+            return fn(u, *weights)
+        return self._forward(u, *weights, spec=spec)
+
+    def _forward(
+        self, u, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w,
+        spec: ScanSpec, tp: bool = False,
+    ) -> jax.Array:
+        B_, L, _ = u.shape
+        d_in, n, g = self.d_inner, self.d_state, self.ngroups
+        H, Ph = self.nheads, self.headdim
+        cd = self.dtype
+        S, Ls = spec.fwd.shape
+
+        if tp:
+            ntp = self._axis_size(self.tp_axis)
+            H_l = H // ntp
+            assert H_l * ntp == H, (H, ntp)
+            d_l = H_l * Ph
+            s_idx = jax.lax.axis_index(self.tp_axis)
+            off = s_idx * d_l
+            # Column groups of the fused [z|x|B|C|dt] projection owned by
+            # this shard: its z and x head-slices, the full (shared) B/C
+            # columns, and its dt head-slice.
+            Wz = jax.lax.dynamic_slice_in_dim(in_w, off, d_l, 1)
+            Wx = jax.lax.dynamic_slice_in_dim(in_w, d_in + off, d_l, 1)
+            Wbc = jax.lax.dynamic_slice_in_dim(in_w, 2 * d_in, 2 * g * n, 1)
+            Wdt = jax.lax.dynamic_slice_in_dim(
+                in_w, 2 * d_in + 2 * g * n + s_idx * H_l, H_l, 1
+            )
+            uc = u.astype(cd)
+            z_f = jnp.dot(uc, Wz.astype(cd))
+            xBC_f = jnp.concatenate(
+                [jnp.dot(uc, Wx.astype(cd)), jnp.dot(uc, Wbc.astype(cd))], -1
+            )
+            dt_f = jnp.dot(uc, Wdt.astype(cd))
+            zxbcdt = jnp.concatenate([z_f, xBC_f, dt_f], axis=-1)
+            # conv channels = this shard's x slice + the shared B/C tail
+            conv_w = jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice_in_dim(conv_w, off, d_l, 0),
+                    jax.lax.dynamic_slice_in_dim(conv_w, d_in, 2 * g * n, 0),
+                ],
+                axis=0,
+            )
+            conv_b = jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice_in_dim(conv_b, off, d_l, 0),
+                    jax.lax.dynamic_slice_in_dim(conv_b, d_in, 2 * g * n, 0),
+                ],
+                axis=0,
+            )
+            dt_bias = jax.lax.dynamic_slice_in_dim(dt_bias, s_idx * H_l, H_l, 0)
+            A_log = jax.lax.dynamic_slice_in_dim(A_log, s_idx * H_l, H_l, 0)
+            D = jax.lax.dynamic_slice_in_dim(D, s_idx * H_l, H_l, 0)
+            norm_w = jax.lax.dynamic_slice_in_dim(norm_w, off, d_l, 0)
+            out_w = jax.lax.dynamic_slice_in_dim(out_w, off, d_l, 0)
+            d_eff, H_eff = d_l, H_l
+        else:
+            zxbcdt = jnp.dot(u.astype(cd), in_w.astype(cd))
+            d_eff, H_eff = d_in, H
+
+        fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
+        xs = jnp.take(zxbcdt, fwd.reshape(-1), axis=1)
+        xs = xs.reshape(B_ * S, Ls, zxbcdt.shape[-1])
+
+        z, xBC, dt = jnp.split(xs, [d_eff, d_eff + d_eff + 2 * g * n], axis=-1)
+        xBC = causal_conv1d(xBC, conv_w, conv_b, activation="silu")
+        x_ssm, B_ssm, C_ssm = jnp.split(xBC, [d_eff, d_eff + g * n], axis=-1)
+
+        ssd_args = dict(
+            dt_bias=dt_bias, dt_softplus=True, dt_limit=self.dt_limit,
+            chunk_size=self.chunk_size,
         )
+        x_h = x_ssm.reshape(B_ * S, Ls, H_eff, Ph)
+        A = -jnp.exp(A_log.astype(jnp.float32))
+        if tp:
+            # Under shard_map the inter-chunk lax.scan carry must be marked
+            # device-varying over the manual axis or its type won't match
+            # the (tp-varying) body output.
+            ssd_args["initial_state"] = jax.lax.pcast(
+                jnp.zeros((B_ * S, H_eff, Ph, n), jnp.float32),
+                (self.tp_axis,), to="varying",
+            )
+        if not tp and self._axis_size(self.sp_axis) > 1:
+            from diffma_tpu.parallel.sequence import ssd_sequence_parallel
+
+            y = ssd_sequence_parallel(
+                x_h, dt.astype(jnp.float32), A, B_ssm, C_ssm, D,
+                mesh=self.mesh, axis=self.sp_axis, **ssd_args,
+            )
+        else:
+            y = ssd_chunked(
+                x_h, dt.astype(jnp.float32), A, B_ssm, C_ssm, D, **ssd_args
+            )
+        y = y.reshape(B_ * S, Ls, d_eff)
+
+        if tp:
+            # Gated RMSNorm whose single group spans ALL of d_inner
+            # (block/mamba2.py:347-350 with ngroups=1): gate locally, psum
+            # the sum-of-squares for the global RMS statistic.
+            yf = y.astype(jnp.float32)
+            zf = z.astype(jnp.float32)
+            yf = yf * (zf * jax.nn.sigmoid(zf))
+            sumsq = jax.lax.psum(
+                jnp.sum(jnp.square(yf), axis=-1, keepdims=True), self.tp_axis
+            )
+            rms = jax.lax.rsqrt(sumsq / (d_in // g) + self.norm_eps)
+            y = (yf * rms * norm_w.astype(jnp.float32)).astype(y.dtype)
+        else:
+            y = rms_norm_gated(
+                y, norm_w, z, eps=self.norm_eps,
+                group_size=d_in // g, norm_before_gate=False,
+            )
 
         merge = jnp.asarray(np.ascontiguousarray(spec.merge))
-        ys = y.reshape(B_, S * Ls, d_in)
+        ys = y.reshape(B_, S * Ls, d_eff)
         merged = jnp.take(ys, merge.reshape(-1), axis=1).reshape(
-            B_, L, merge.shape[1], d_in
+            B_, L, merge.shape[1], d_eff
         )
         merged = jnp.sum(merged, axis=2) * spec.scale
 
-        return nn.Dense(
-            self.d_model, use_bias=False, kernel_init=xavier, dtype=self.dtype,
-            name="out_proj",
-        )(merged.astype(self.dtype))
+        out = jnp.dot(merged.astype(cd), out_w.astype(cd))
+        return jax.lax.psum(out, self.tp_axis) if tp else out

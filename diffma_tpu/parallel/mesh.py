@@ -13,10 +13,15 @@ block/mamba2.py:305-307,355-357,708-710) with the TPU-native recipe:
   row-parallel out_proj) are *emitted by XLA* from the shardings; no NCCL
   call sites exist anywhere in this framework.
 
-Tensor-parallel rules mirror the reference's intent: mixer in-projections are
-column-parallel (shard the d_inner output axis), the per-channel scan state
-is embarrassingly parallel over d_inner, out-projections are row-parallel
-(XLA inserts the psum the reference does by hand at block/mamba2.py:708-710).
+Tensor parallelism is *module-managed*: the mixers run their TP path inside
+``shard_map`` over the 'tp' axis (see models/mamba.py / models/mamba2.py),
+keeping activations sharded through conv/scan/gate with exactly one psum at
+out_proj (the reference's RowParallel intent, block/mamba2.py:708-710) plus
+one tiny reduction mid-mixer.  Parameters therefore stay REPLICATED over tp
+-- a deliberate trade at this model scale (<=4 MB per projection): TP here
+buys compute/activation sharding, and replicated weights make the shard
+slicing local and free.  Sequence parallelism ('sp' axis) is likewise
+module-managed via diffma_tpu.parallel.sequence.
 """
 
 from __future__ import annotations
@@ -31,63 +36,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "param_partition_spec", "shard_params", "shard_batch"]
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
-    """('dp', 'tp') mesh.  dp defaults to n_devices // tp."""
+def make_mesh(
+    dp: Optional[int] = None, tp: int = 1, sp: int = 1, devices=None
+) -> Mesh:
+    """('dp', 'tp', 'sp') mesh.  dp defaults to n_devices // (tp*sp)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % tp == 0, (n, tp)
-        dp = n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = mesh_utils.create_device_mesh((dp, tp), devices=np.asarray(devices))
-    return Mesh(arr, ("dp", "tp"))
+        assert n % (tp * sp) == 0, (n, tp, sp)
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"mesh {dp}x{tp}x{sp} != {n} devices"
+    arr = mesh_utils.create_device_mesh((dp, tp, sp), devices=np.asarray(devices))
+    return Mesh(arr, ("dp", "tp", "sp"))
 
 
-# Param-name suffix -> (axis to shard over tp). Mixer-internal tensors whose
-# leading/trailing axis is d_inner (or nheads for Mamba2) are tp-shardable;
-# everything else stays replicated.
-_TP_RULES = (
-    ("in_proj/kernel", 1),
-    ("out_proj/kernel", 0),
-    ("x_proj/kernel", 0),
-    ("dt_proj/kernel", 1),
-    ("dt_proj/bias", 0),
-    ("conv1d_weight", 0),
-    ("conv1d_bias", 0),
-    ("A_log", 0),
-    ("D", 0),
-    ("dt_bias", 0),
-    ("norm_weight", 0),
-)
-
-
-def param_partition_spec(path: str, shape, tp: int) -> P:
-    """PartitionSpec for one parameter given its tree path ('/'-joined)."""
-    if tp > 1:
-        for suffix, axis in _TP_RULES:
-            if path.endswith(suffix) and len(shape) > axis and shape[axis] % tp == 0:
-                spec = [None] * len(shape)
-                spec[axis] = "tp"
-                return P(*spec)
+def param_partition_spec(path: str, shape, tp: int = 1) -> P:
+    """PartitionSpec for one parameter.  Always replicated: TP/SP are
+    module-managed (shard_map slices replicated weights locally), and dp
+    replicates parameters by definition."""
+    del path, shape, tp
     return P()
 
 
-def _path_str(path) -> str:
-    parts = []
-    for k in path:
-        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
-    return "/".join(parts)
-
-
 def shard_params(params, mesh: Mesh):
-    """device_put a param tree with tp-aware NamedShardings."""
-    tp = mesh.shape["tp"]
+    """device_put a param tree replicated over the mesh."""
 
-    def place(path, p):
-        spec = param_partition_spec(_path_str(path), p.shape, tp)
-        return jax.device_put(p, NamedSharding(mesh, spec))
+    def place(p):
+        return jax.device_put(p, NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map(place, params)
 
 
 def shard_batch(batch, mesh: Mesh):

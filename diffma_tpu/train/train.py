@@ -196,6 +196,8 @@ def main(cfg) -> Optional[TrainState]:
     assert cfg.image_size % 8 == 0, "Image size must be divisible by 8 (VAE)."
     latent = cfg.image_size // 8
     dtype = jnp.bfloat16 if cfg.get("autocast") else jnp.float32
+    tp, sp = int(cfg.get("tp", 1)), int(cfg.get("sp", 1))
+    mesh = make_mesh(tp=tp, sp=sp)
     model = build_model(
         str(cfg.model),
         input_size=latent,
@@ -203,11 +205,12 @@ def main(cfg) -> Optional[TrainState]:
         d_state=int(cfg.get("d_state", 16)),
         use_mamba2=bool(cfg.get("use_mamba2", False)),
         remat=bool(cfg.get("remat", False)),
+        mesh=mesh if (tp > 1 or sp > 1) else None,
+        tp_axis="tp" if tp > 1 else None,
+        sp_axis="sp" if sp > 1 else None,
         dtype=dtype,
     )
     diffusion = create_diffusion("")
-
-    mesh = make_mesh(tp=int(cfg.get("tp", 1)))
     tokens = (latent // model.patch_size) ** 2
 
     # --- init / resume ------------------------------------------------------

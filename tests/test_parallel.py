@@ -30,50 +30,52 @@ def test_eight_virtual_devices():
 
 def test_mesh_shapes():
     m = make_mesh(tp=1)
-    assert m.shape == {"dp": 8, "tp": 1}
+    assert m.shape == {"dp": 8, "tp": 1, "sp": 1}
     m = make_mesh(tp=2)
-    assert m.shape == {"dp": 4, "tp": 2}
-    m = make_mesh(dp=2, tp=4)
-    assert m.shape == {"dp": 2, "tp": 4}
+    assert m.shape == {"dp": 4, "tp": 2, "sp": 1}
+    m = make_mesh(dp=2, tp=2, sp=2)
+    assert m.shape == {"dp": 2, "tp": 2, "sp": 2}
 
 
-def test_param_partition_rules():
-    spec = param_partition_spec("block_0/mamba/in_proj/kernel", (512, 2048), tp=2)
-    assert spec == jax.sharding.PartitionSpec(None, "tp")
-    spec = param_partition_spec("block_0/mamba/out_proj/kernel", (1024, 512), tp=2)
-    assert spec == jax.sharding.PartitionSpec("tp", None)
-    # non-divisible or non-mixer params stay replicated
-    assert param_partition_spec("final_layer/linear/kernel", (512, 32), tp=3) == (
-        jax.sharding.PartitionSpec()
-    )
-    assert param_partition_spec("block_0/adaLN/fc/kernel", (1024, 1536), tp=2) == (
+def test_params_replicated():
+    # TP/SP are module-managed (shard_map slices replicated weights locally);
+    # parameters carry no tp sharding.
+    assert param_partition_spec("block_0/mamba/in_proj/kernel", (512, 2048), 2) == (
         jax.sharding.PartitionSpec()
     )
 
 
-@pytest.mark.parametrize("tp", [1, 2])
-def test_sharded_train_step_matches_single_device(tp):
+@pytest.mark.parametrize("tp,use_mamba2", [(1, False), (2, False), (2, True)])
+def test_sharded_train_step_matches_single_device(tp, use_mamba2):
     """dp(+tp)-sharded training must produce the same loss and params as the
-    unsharded computation (collectives inserted by XLA are exact)."""
+    unsharded computation.  tp>1 exercises the module-managed shard_map TP
+    path (activations sharded through conv/scan/gate, psum at out_proj)."""
+    mesh = make_mesh(tp=tp)
     model = DiffMa(
         input_size=8, patch_size=2, depth=2, hidden_size=512,
-        block_type="spiral", d_state=16,
+        block_type="spiral", d_state=16, use_mamba2=use_mamba2,
+        mesh=mesh if tp > 1 else None, tp_axis="tp" if tp > 1 else None,
+    )
+    model0 = DiffMa(
+        input_size=8, patch_size=2, depth=2, hidden_size=512,
+        block_type="spiral", d_state=16, use_mamba2=use_mamba2,
     )
     diffusion = create_diffusion("")
     batch = synthetic_batch(jax.random.PRNGKey(0), 8, 8, 16)
-    params = model.init(
+    params = model0.init(
         jax.random.PRNGKey(1), batch["z"], jnp.zeros(8, jnp.int32),
         batch["y"], batch["y2"], batch["w"],
     )["params"]
     opt = optax.adamw(1e-3, weight_decay=0.0)
-    step = make_train_step(make_loss_fn(model, diffusion), opt)
 
     # single device
     s0 = TrainState.create(params, opt)
-    s0, m0 = jax.jit(step)(s0, batch, jax.random.PRNGKey(2))
+    s0, m0 = jax.jit(make_train_step(make_loss_fn(model0, diffusion), opt))(
+        s0, batch, jax.random.PRNGKey(2)
+    )
 
     # sharded
-    mesh = make_mesh(tp=tp)
+    step = make_train_step(make_loss_fn(model, diffusion), opt)
     with mesh:
         s1 = TrainState.create(shard_params(params, mesh), opt)
         sb = shard_batch(jax.tree.map(np.asarray, batch), mesh)
@@ -87,6 +89,31 @@ def test_sharded_train_step_matches_single_device(tp):
         for x, y in zip(a, b)
     )
     assert worst < 5e-3, worst
+
+
+@pytest.mark.parametrize("use_mamba2", [False, True])
+def test_tp_collective_count(use_mamba2):
+    """The TP design contract, asserted on compiled HLO: activations stay
+    sharded through conv/scan/gate, with exactly two all-reduces per Mamba1
+    mixer (tiny x_proj psum + out_proj psum) / two per Mamba2 mixer (norm
+    sum-of-squares psum + out_proj psum) -- and no all-gathers of
+    activations."""
+    from diffma_tpu.models.mamba import Mamba
+    from diffma_tpu.models.mamba2 import Mamba2
+    from diffma_tpu.ops.scan_orders import build_scan_spec
+
+    mesh = make_mesh(dp=1, tp=2, sp=1, devices=jax.devices()[:2])
+    cls = Mamba2 if use_mamba2 else Mamba
+    mixer = cls(d_model=512, d_state=16, mesh=mesh, tp_axis="tp")
+    spec = build_scan_spec("zig", 4, 0)  # single stream, L=16
+    x = jnp.ones((2, 16, 512), jnp.float32)
+    params = mixer.init(jax.random.PRNGKey(0), x, spec)
+
+    fn = jax.jit(lambda p, x: mixer.apply(p, x, spec))
+    hlo = fn.lower(params, x).compile().as_text()
+    n_ar = hlo.count(" all-reduce(") + hlo.count(" all-reduce-start(")
+    assert n_ar == 2, f"expected exactly 2 all-reduces, found {n_ar}"
+    assert "all-gather" not in hlo, "activations were re-gathered under tp"
 
 
 def test_dryrun_multichip():

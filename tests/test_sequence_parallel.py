@@ -126,3 +126,71 @@ def test_sequence_parallel_grads():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, dt, B, C)
     for a, b in zip(g_sp, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Model-level SP: the sp_axis module option must be reachable from DiffMa
+# (config key `sp`) and reproduce the unsharded computation.
+# ---------------------------------------------------------------------------
+
+
+def _sp_models(use_mamba2, sp=4):
+    from diffma_tpu.models.diffma import DiffMa
+    from diffma_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=8 // sp, tp=1, sp=sp)
+    kw = dict(
+        input_size=8, patch_size=2, depth=2, hidden_size=128,
+        block_type="spiral", d_state=16, use_mamba2=use_mamba2,
+    )
+    return DiffMa(**kw, mesh=mesh, sp_axis="sp"), DiffMa(**kw), mesh
+
+
+@pytest.mark.parametrize("use_mamba2", [False, True])
+def test_model_level_sp_matches_unsharded(use_mamba2):
+    model_sp, model0, mesh = _sp_models(use_mamba2)
+    from diffma_tpu.train.train import synthetic_batch
+
+    b = synthetic_batch(jax.random.PRNGKey(0), 2, 8, 16, dim=128)
+    t = jnp.array([3, 700], jnp.int32)
+    params = model0.init(jax.random.PRNGKey(1), b["z"], t, b["y"], b["y2"], b["w"])
+
+    want = np.asarray(model0.apply(params, b["z"], t, b["y"], b["y2"], b["w"]))
+    with mesh:
+        got = np.asarray(
+            jax.jit(lambda p, *a: model_sp.apply(p, *a))(
+                params, b["z"], t, b["y"], b["y2"], b["w"]
+            )
+        )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_train_step_with_sp_active():
+    """Full training step with the scans sequence-parallel over sp=4."""
+    import optax
+
+    from diffma_tpu.diffusion import create_diffusion
+    from diffma_tpu.parallel import shard_batch, shard_params
+    from diffma_tpu.train.state import TrainState, make_train_step
+    from diffma_tpu.train.train import make_loss_fn, synthetic_batch
+
+    model_sp, model0, mesh = _sp_models(use_mamba2=False)
+    diffusion = create_diffusion("")
+    batch = synthetic_batch(jax.random.PRNGKey(0), 4, 8, 16, dim=128)
+    params = model0.init(
+        jax.random.PRNGKey(1), batch["z"], jnp.zeros(4, jnp.int32),
+        batch["y"], batch["y2"], batch["w"],
+    )["params"]
+    opt = optax.adamw(1e-3, weight_decay=0.0)
+
+    s0 = TrainState.create(params, opt)
+    s0, m0 = jax.jit(make_train_step(make_loss_fn(model0, diffusion), opt))(
+        s0, batch, jax.random.PRNGKey(2)
+    )
+
+    step = make_train_step(make_loss_fn(model_sp, diffusion), opt)
+    with mesh:
+        s1 = TrainState.create(shard_params(params, mesh), opt)
+        sb = shard_batch(jax.tree.map(np.asarray, batch), mesh)
+        s1, m1 = jax.jit(step, donate_argnums=(0,))(s1, sb, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=2e-4)
