@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from diffma_tpu.models.layers import modulate, xavier_uniform
 from diffma_tpu.models.mamba import Mamba
 from diffma_tpu.models.mamba2 import Mamba2
+from diffma_tpu.ops.fused_mixer import mamba_dual_mixer_fused, mixer_fused_eligible
 from diffma_tpu.ops.norm import layer_norm
 from diffma_tpu.ops.scan_orders import ScanSpec
 
@@ -99,14 +100,37 @@ class SpiralMambaBlock(nn.Module):
         x_mod = modulate(_AffineLN(self.hidden, name="norm1")(x), shift, scale)
         w_ssm_in = x_mod * w  # soft mask from the CT encoder
 
-        x_ssm = _mixer(
+        m1 = _mixer(
             self.use_mamba2, self.hidden, self.d_state, self.dtype,
             self.scan_impl, "mamba1", self.mesh, self.tp_axis, self.sp_axis,
-        )(x_mod, spec)
-        w_ssm = _mixer(
+        )
+        m2 = _mixer(
             self.use_mamba2, self.hidden, self.d_state, self.dtype,
             self.scan_impl, "mamba2", self.mesh, self.tp_axis, self.sp_axis,
-        )(w_ssm_in, spec)
+        )
+        if (
+            not self.use_mamba2
+            and self.scan_impl == "fused"
+            and self.mesh is None
+            and mixer_fused_eligible(spec)
+        ):
+            # Both branches in ONE stacked kernel launch (the branches are
+            # independent, block/mamba_block.py:107-108); params stay under
+            # each mixer's own scope.
+            w1 = m1(None, spec, return_weights=True)
+            w2 = m2(None, spec, return_weights=True)
+            stacked = tuple(
+                jnp.stack([a, b]) for a, b in zip(w1[:6] + w1[7:], w2[:6] + w2[7:])
+            )
+            A12 = -jnp.exp(jnp.stack([w1[6], w2[6]]).astype(jnp.float32))
+            x12 = jnp.stack([x_mod, w_ssm_in]).astype(self.dtype)
+            o = mamba_dual_mixer_fused(
+                spec, x12, *stacked[:6], A12, *stacked[6:]
+            )
+            x_ssm, w_ssm = o[0], o[1]
+        else:
+            x_ssm = m1(x_mod, spec)
+            w_ssm = m2(w_ssm_in, spec)
 
         # Learned spatial mixing of the two branches
         # (block/mamba_block.py:89-95,111-113).

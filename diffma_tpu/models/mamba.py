@@ -134,7 +134,9 @@ class Mamba(nn.Module):
         return self.mesh.shape[axis]
 
     @nn.compact
-    def __call__(self, x: jax.Array, spec: ScanSpec) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, spec: ScanSpec, return_weights: bool = False
+    ):
         d_in, n, r = self.d_inner, self.d_state, self.rank
         xavier = nn.initializers.xavier_uniform()
         if self.init_style == "diffma":
@@ -167,6 +169,10 @@ class Mamba(nn.Module):
         D = self.param("D", nn.initializers.ones, (d_in,), jnp.float32)
         out_w = _Kernel((d_in, self.d_model), xavier, name="out_proj")()
         weights = (in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A_log, D, out_w)
+        if return_weights:
+            # Caller (e.g. the dual-branch block) batches several mixers
+            # into one stacked kernel launch; params still live here.
+            return weights
 
         if self._axis_size(self.tp_axis) > 1:
             if self._axis_size(self.sp_axis) > 1:
@@ -227,13 +233,20 @@ class Mamba(nn.Module):
             xz = jnp.concatenate([u_full, z_full], axis=-1)
             d_eff = d_l
         else:
-            xz = jnp.dot(x.astype(cd), in_w.astype(cd))
+            # Fan out to streams BEFORE in_proj: a per-token matmul commutes
+            # with the token permutation, and gathering the h-wide input
+            # moves 4x less HBM than gathering the 2*d_inner-wide xz.
+            fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))  # (S, Ls)
+            xg = jnp.take(x.astype(cd), fwd.reshape(-1), axis=1)
+            xz = jnp.dot(xg, in_w.astype(cd))
             d_eff = d_in
+            xs = xz.reshape(B_ * S, Ls, 2 * d_eff)
 
-        # Fan out into scan streams and fold them into the batch axis.
-        fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))  # (S, Ls)
-        xs = jnp.take(xz, fwd.reshape(-1), axis=1)
-        xs = xs.reshape(B_ * S, Ls, 2 * d_eff)
+        if tp:
+            # Fan out into scan streams and fold them into the batch axis.
+            fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))  # (S, Ls)
+            xs = jnp.take(xz, fwd.reshape(-1), axis=1)
+            xs = xs.reshape(B_ * S, Ls, 2 * d_eff)
 
         A = -jnp.exp(A_log.astype(jnp.float32))
         if self.scan_impl == "fused" and not tp:

@@ -49,7 +49,7 @@ from diffma_tpu.ops.selective_scan import (
     selective_scan,
 )
 
-__all__ = ["mamba_mixer_fused", "mixer_fused_eligible"]
+__all__ = ["mamba_mixer_fused", "mamba_dual_mixer_fused", "mixer_fused_eligible"]
 
 
 def mixer_fused_eligible(spec: ScanSpec) -> bool:
@@ -57,6 +57,12 @@ def mixer_fused_eligible(spec: ScanSpec) -> bool:
     return (
         spec.fwd.shape[1] == spec.seq_len and not spec.mamba1_vim_quirk
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _identity_streams(spec: ScanSpec) -> tuple:
+    Ls = spec.fwd.shape[1]
+    return tuple(bool((spec.fwd[s] == np.arange(Ls)).all()) for s in range(spec.fwd.shape[0]))
 
 
 @functools.lru_cache(maxsize=None)
@@ -74,52 +80,67 @@ def _mixer_kernel(
     AT_ref, D_ref, outw_ref, P_ref,
     out_ref,
     xzbuf, ubuf, dts, Bbuf, Cbuf, abuf, bbuf, hbuf, ybuf, accbuf,
-    *, L, Q, d, r, n, S, scale,
+    *, L, Q, d, r, n, S, scale, ident,
 ):
-    """One batch element: the whole mixer with S unrolled streams."""
+    """One batch element: the whole mixer with S unrolled streams.
+
+    Weight refs are 2-D for the single-mixer entry point and 3-D with a
+    leading block dim of 1 for the dual (stacked-weights) entry point."""
+
+    def _w(ref):
+        return ref[0] if ref.ndim == 3 else ref[...]
+
     nq = L // Q
     cd = x_ref.dtype
     prec = (
         lax.Precision.HIGHEST if cd == jnp.float32 else lax.Precision.DEFAULT
     )
+    inw, convw, convb = _w(inw_ref), _w(convw_ref), _w(convb_ref)
+    xpw, dtw, dtb = _w(xpw_ref), _w(dtw_ref), _w(dtb_ref)
+    Dw, outw = _w(D_ref), _w(outw_ref)
     x = x_ref[0]  # (L, h)
     xzbuf[...] = jnp.dot(
-        x, inw_ref[...].astype(cd), preferred_element_type=jnp.float32,
+        x, inw.astype(cd), preferred_element_type=jnp.float32,
         precision=prec,
     ).astype(cd)
     accbuf[...] = jnp.zeros_like(accbuf)
-    K = convw_ref.shape[0]
-    AT = AT_ref[...]  # (n, d)
+    K = convw.shape[0]
+    AT = _w(AT_ref)  # (n, d)
 
     for s in range(S):
         Ps = P_ref[s]  # (L, L) fp32 one-hot
-        xs = jnp.dot(
-            Ps.astype(cd), xzbuf[...], preferred_element_type=jnp.float32,
-            precision=prec,
-        ).astype(cd)  # (L, 2d)
+        if ident[s]:
+            # identity stream (e.g. spiral stream 0): no permute needed;
+            # pad rows only pollute output rows >= L0, which are sliced off.
+            xs = xzbuf[...]
+        else:
+            xs = jnp.dot(
+                Ps.astype(cd), xzbuf[...], preferred_element_type=jnp.float32,
+                precision=prec,
+            ).astype(cd)  # (L, 2d)
         u0 = xs[:, :d].astype(jnp.float32)
 
         # causal depthwise conv, K taps, zero left-pad
-        acc = u0 * convw_ref[K - 1][None, :]
+        acc = u0 * convw[K - 1][None, :]
         for k in range(K - 1):
             sh = K - 1 - k
             shifted = jnp.concatenate(
                 [jnp.zeros((sh, d), jnp.float32), u0[: L - sh]], axis=0
             )
-            acc = acc + shifted * convw_ref[k][None, :]
-        u = _silu(acc + convb_ref[0][None, :])  # (L, d) fp32
+            acc = acc + shifted * convw[k][None, :]
+        u = _silu(acc + convb[0][None, :])  # (L, d) fp32
         ubuf[...] = u
 
         xdb = jnp.dot(
-            u.astype(cd), xpw_ref[...].astype(cd),
+            u.astype(cd), xpw.astype(cd),
             preferred_element_type=jnp.float32, precision=prec,
         )  # (L, r + 2n) fp32
         delta = (
             jnp.dot(
-                xdb[:, :r].astype(cd), dtw_ref[...].astype(cd),
+                xdb[:, :r].astype(cd), dtw.astype(cd),
                 preferred_element_type=jnp.float32, precision=prec,
             )
-            + dtb_ref[0][None, :]
+            + dtb[0][None, :]
         )
         dts[...] = jax.nn.softplus(delta)
         Bbuf[...] = xdb[:, r : r + n]
@@ -145,20 +166,26 @@ def _mixer_kernel(
 
         lax.fori_loop(0, nq, chunk_body, jnp.zeros((n, d), jnp.float32))
 
-        y = ybuf[...] + ubuf[...] * D_ref[0][None, :]
+        y = ybuf[...] + ubuf[...] * Dw[0][None, :]
         z = xs[:, d:].astype(jnp.float32)
         yg = y * _silu(z)  # (L, d) fp32
 
-        # inverse-permute merge on the MXU: acc += P_s^T @ y_s
-        accbuf[...] += lax.dot_general(
-            Ps, yg, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )
+        # inverse-permute merge on the MXU: acc += P_s^T @ y_s.  Dtype-
+        # faithful precision: the composable path merges in the model dtype,
+        # so rounding yg through bf16 here matches it; fp32 models take the
+        # multi-pass exact path.
+        if ident[s]:
+            accbuf[...] += yg
+        else:
+            accbuf[...] += lax.dot_general(
+                Ps.astype(cd), yg.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
 
     merged = (accbuf[...] * scale).astype(cd)
     out_ref[0] = jnp.dot(
-        merged, outw_ref[...].astype(cd), preferred_element_type=jnp.float32,
+        merged, outw.astype(cd), preferred_element_type=jnp.float32,
         precision=prec,
     ).astype(out_ref.dtype)
 
@@ -169,15 +196,17 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
     n = A.shape[1]
     r = dt_w.shape[0]
     S = spec.fwd.shape[0]
-    Q = _CHUNK
+    Q = ((L0 + 7) // 8) * 8  # single chunk, sublane-aligned
     L = ((L0 + Q - 1) // Q) * Q
     if L != L0:
         x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
     P = jnp.asarray(_perm_matrices(spec, L))
     AT = jnp.transpose(A.astype(jnp.float32))
 
+    ident = _identity_streams(spec)
     kernel = functools.partial(
-        _mixer_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S, scale=float(spec.scale)
+        _mixer_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S, scale=float(spec.scale),
+        ident=ident,
     )
     const = lambda i: tuple(0 for _ in range(2))  # noqa: E731
     out = pl.pallas_call(
@@ -262,6 +291,109 @@ def _mixer_ref(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
     )
     merged = jnp.sum(merged, axis=2) * spec.scale
     return jnp.dot(merged.astype(cd), out_w.astype(cd))
+
+
+def _dual_fwd_impl(spec, x12, *stacked):
+    """Both mixers of a dual-branch block in ONE launch: grid (2*B,), the
+    first B items use weight set 0, the rest set 1 (halves launch count for
+    the Spiral block, block/mamba_block.py:107-108)."""
+    M, B_, L0, h = x12.shape
+    d = stacked[6].shape[1]  # A (M, d, n)
+    n = stacked[6].shape[2]
+    r = stacked[4].shape[1]  # dt_w (M, r, d)
+    S = spec.fwd.shape[0]
+    Q = ((L0 + 7) // 8) * 8
+    L = Q
+    x = x12.reshape(M * B_, L0, h)
+    if L != L0:
+        x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
+    P = jnp.asarray(_perm_matrices(spec, L))
+    (in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w) = stacked
+    AT = jnp.transpose(A.astype(jnp.float32), (0, 2, 1))  # (M, n, d)
+
+    ident = _identity_streams(spec)
+    kernel = functools.partial(
+        _mixer_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S, scale=float(spec.scale),
+        ident=ident,
+    )
+    K = conv_w.shape[2]
+    m_of = lambda i: i // B_  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(M * B_,),
+        in_specs=[
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 2 * d), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, d), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, r + 2 * n), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, d), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, h), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M * B_, L, h), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L, 2 * d), x.dtype),
+            pltpu.VMEM((L, d), jnp.float32),
+            pltpu.VMEM((L, d), jnp.float32),
+            pltpu.VMEM((L, n), jnp.float32),
+            pltpu.VMEM((L, n), jnp.float32),
+            pltpu.VMEM((Q, n, d), jnp.float32),
+            pltpu.VMEM((Q, n, d), jnp.float32),
+            pltpu.VMEM((Q, n, d), jnp.float32),
+            pltpu.VMEM((L, d), jnp.float32),
+            pltpu.VMEM((L, d), jnp.float32),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(
+        x,
+        in_w,
+        jnp.transpose(conv_w.astype(jnp.float32), (0, 2, 1)),  # (M, K, d)
+        conv_b.astype(jnp.float32)[:, None, :],
+        xp_w,
+        dt_w,
+        dt_b.astype(jnp.float32)[:, None, :],
+        AT,
+        D.astype(jnp.float32)[:, None, :],
+        out_w,
+        P,
+    )
+    out = out[:, :L0] if L != L0 else out
+    return out.reshape(M, B_, L0, h)
+
+
+def _dual_ref(spec, x12, *stacked):
+    o = [
+        _mixer_ref(spec, x12[m], *(w[m] for w in stacked))
+        for m in range(x12.shape[0])
+    ]
+    return jnp.stack(o)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def mamba_dual_mixer_fused(spec: ScanSpec, x12, *stacked):
+    """Dual-branch fused mixer: ``x12 (2, B, L, h)`` + weights stacked on a
+    leading mixer axis -> ``(2, B, L, h)``.  One launch for both branches."""
+    return _dual_fwd_impl(spec, x12, *stacked)
+
+
+def _dual_vjp_fwd(spec, x12, *stacked):
+    return _dual_fwd_impl(spec, x12, *stacked), (x12,) + stacked
+
+
+def _dual_vjp_bwd(spec, res, g):
+    out, vjp = jax.vjp(functools.partial(_dual_ref, spec), *res)
+    return vjp(g.astype(out.dtype))
+
+
+mamba_dual_mixer_fused.defvjp(_dual_vjp_fwd, _dual_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

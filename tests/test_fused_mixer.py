@@ -105,3 +105,42 @@ def test_model_fused_matches_auto():
     got = np.asarray(m_fused.apply(params, x, spec))
     tol = 2e-5 if jax.default_backend() != "tpu" else 5e-4
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_dual_branch_block_fused_matches_auto():
+    """SpiralMambaBlock with scan_impl='fused' batches both branches into
+    one stacked kernel launch; params and outputs must match the auto path."""
+    from diffma_tpu.models.blocks import SpiralMambaBlock
+
+    spec = build_scan_spec("spiral", 4, 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    w = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(2), (2, 16, 1)))
+    b_auto = SpiralMambaBlock(hidden=32, d_state=8, scan_impl="auto")
+    b_fused = SpiralMambaBlock(hidden=32, d_state=8, scan_impl="fused")
+    params = b_auto.init(jax.random.PRNGKey(3), x, c, w, spec)
+    params_f = b_fused.init(jax.random.PRNGKey(3), x, c, w, spec)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_f
+    )
+    want = np.asarray(b_auto.apply(params, x, c, w, spec))
+    got = np.asarray(b_fused.apply(params, x, c, w, spec))
+    tol = 2e-5 if jax.default_backend() != "tpu" else 5e-4
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+@pytest.mark.slow
+def test_dual_branch_block_fused_grads():
+    from diffma_tpu.models.blocks import SpiralMambaBlock
+
+    spec = build_scan_spec("spiral", 4, 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    w = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(2), (2, 16, 1)))
+    b_auto = SpiralMambaBlock(hidden=32, d_state=8, scan_impl="auto")
+    b_fused = SpiralMambaBlock(hidden=32, d_state=8, scan_impl="fused")
+    params = b_auto.init(jax.random.PRNGKey(3), x, c, w, spec)
+    g1 = jax.grad(lambda p: jnp.sum(jnp.tanh(b_fused.apply(p, x, c, w, spec))))(params)
+    g2 = jax.grad(lambda p: jnp.sum(jnp.tanh(b_auto.apply(p, x, c, w, spec))))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
