@@ -133,7 +133,7 @@ def main():
     # --- Mamba2/SSD headline (aux): same protocol, --use-mamba2 backbone ----
     model2 = build_model(
         "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16,
-        use_mamba2=True,
+        use_mamba2=True, scan_impl=sampler_impl,
     )
     params2 = model2.init(
         jax.random.PRNGKey(1), cond["z"], jnp.zeros((BATCH,), jnp.int32),

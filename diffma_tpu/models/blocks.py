@@ -32,6 +32,7 @@ from diffma_tpu.models.layers import modulate, xavier_uniform
 from diffma_tpu.models.mamba import Mamba
 from diffma_tpu.models.mamba2 import Mamba2
 from diffma_tpu.ops.fused_mixer import mamba_dual_mixer_fused, mixer_fused_eligible
+from diffma_tpu.ops.fused_ssd import mamba2_dual_mixer_fused
 from diffma_tpu.ops.norm import layer_norm
 from diffma_tpu.ops.scan_orders import ScanSpec
 
@@ -109,8 +110,7 @@ class SpiralMambaBlock(nn.Module):
             self.scan_impl, "mamba2", self.mesh, self.tp_axis, self.sp_axis,
         )
         if (
-            not self.use_mamba2
-            and self.scan_impl == "fused"
+            self.scan_impl == "fused"
             and self.mesh is None
             and mixer_fused_eligible(spec)
         ):
@@ -119,14 +119,22 @@ class SpiralMambaBlock(nn.Module):
             # each mixer's own scope.
             w1 = m1(None, spec, return_weights=True)
             w2 = m2(None, spec, return_weights=True)
-            stacked = tuple(
-                jnp.stack([a, b]) for a, b in zip(w1[:6] + w1[7:], w2[:6] + w2[7:])
-            )
-            A12 = -jnp.exp(jnp.stack([w1[6], w2[6]]).astype(jnp.float32))
             x12 = jnp.stack([x_mod, w_ssm_in]).astype(self.dtype)
-            o = mamba_dual_mixer_fused(
-                spec, x12, *stacked[:6], A12, *stacked[6:]
-            )
+            if self.use_mamba2:
+                stacked = tuple(jnp.stack([a, b]) for a, b in zip(w1, w2))
+                o = mamba2_dual_mixer_fused(
+                    spec, x12, *stacked,
+                    tuple(m1.dt_limit), m1.norm_eps, m1.chunk_size,
+                )
+            else:
+                stacked = tuple(
+                    jnp.stack([a, b])
+                    for a, b in zip(w1[:6] + w1[7:], w2[:6] + w2[7:])
+                )
+                A12 = -jnp.exp(jnp.stack([w1[6], w2[6]]).astype(jnp.float32))
+                o = mamba_dual_mixer_fused(
+                    spec, x12, *stacked[:6], A12, *stacked[6:]
+                )
             x_ssm, w_ssm = o[0], o[1]
         else:
             x_ssm = m1(x_mod, spec)

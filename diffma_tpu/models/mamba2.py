@@ -35,6 +35,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from diffma_tpu.ops.conv import causal_conv1d
+from diffma_tpu.ops.fused_mixer import mixer_fused_eligible
+from diffma_tpu.ops.fused_ssd import mamba2_mixer_fused
 from diffma_tpu.ops.norm import rms_norm_gated
 from diffma_tpu.ops.scan_orders import ScanSpec
 from diffma_tpu.ops.ssd import ssd_chunked
@@ -102,7 +104,7 @@ class Mamba2(nn.Module):
     chunk_size: int = 256
     dt_limit: tuple = (0.0, float("inf"))
     norm_eps: float = 1e-5
-    scan_impl: str = "auto"  # reserved (chunked JAX path is MXU-native)
+    scan_impl: str = "auto"  # "fused" = whole-mixer Pallas kernel (inference)
     mesh: Optional[Mesh] = None
     tp_axis: Optional[str] = None
     sp_axis: Optional[str] = None
@@ -123,7 +125,9 @@ class Mamba2(nn.Module):
         return self.mesh.shape[axis]
 
     @nn.compact
-    def __call__(self, u: jax.Array, spec: ScanSpec) -> jax.Array:
+    def __call__(
+        self, u: jax.Array, spec: ScanSpec, return_weights: bool = False
+    ):
         d_in = self.d_inner
         n = self.d_state
         H = self.nheads
@@ -156,6 +160,24 @@ class Mamba2(nn.Module):
         norm_w = self.param("norm_weight", nn.initializers.ones, (d_in,), jnp.float32)
         out_w = _Kernel((d_in, self.d_model), xavier, name="out_proj")()
         weights = (in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w)
+        if return_weights:
+            # Caller (e.g. the dual-branch block) batches several mixers
+            # into one stacked kernel launch; params still live here.
+            return weights
+
+        if (
+            self.scan_impl == "fused"
+            and self._axis_size(self.tp_axis) == 1
+            and self._axis_size(self.sp_axis) == 1
+            and mixer_fused_eligible(spec)
+        ):
+            # Whole SSD mixer (in_proj -> streams -> chunkless SSD -> gated
+            # norm -> merge -> out_proj) in one Pallas kernel; the per-head
+            # decay tiles stay in VMEM (see ops/fused_ssd.py).
+            return mamba2_mixer_fused(
+                spec, u.astype(self.dtype), *weights,
+                tuple(self.dt_limit), self.norm_eps, self.chunk_size,
+            )
 
         if self._axis_size(self.tp_axis) > 1:
             if self._axis_size(self.sp_axis) > 1:

@@ -1,0 +1,396 @@
+"""Whole-mixer fused SSD (Mamba-2) kernel: in_proj -> streams -> chunkless
+SSD -> gated norm -> merge -> out_proj in ONE Pallas call.
+
+Design (the Mamba-2 sibling of ops/fused_mixer.py):
+
+* The composable SSD path (ops/ssd.py) materialises the per-head causal
+  decay matrices ``exp(cs_t - cs_s)`` -- a (B*S, H, Q, Q) fp32 tensor that
+  round-trips HBM several times per mixer (~100 MB at DiffMa-B/2 shapes).
+  Here every (L, L) decay tile lives only in VMEM, flash-attention style.
+* DiffMa sequences are short (<= a few hundred tokens), so the whole
+  sequence is ONE chunk: the quadratic intra-chunk form covers everything
+  and the inter-chunk ``lax.scan`` disappears entirely.  All heavy work is
+  MXU matmuls:
+
+      x (B, L, h) --in_proj--> zxbcdt --P_s (one-hot matmul)--> stream s
+        --conv--> x/B/C  --per-head (C B^T ∘ decay) @ (dt*x)--> y
+        --gated RMSNorm--> --P_s^T--> merged --out_proj--> (B, L, h)
+
+* Mamba-2's scalar-per-head decay makes the decay matrix a masked outer
+  difference of the (exact, tril-matmul) cumsum ``cs``; the D-skip and the
+  per-head dt broadcast ride one-hot head-expansion matmuls.
+
+Replaces the reference dataflow at block/mamba2.py:380-696 (in_proj ->
+permute -> up to 4 sequential ``mamba_split_conv1d_scan_combined`` Triton
+launches -> merge -> out_proj) one level higher than the CUDA kernels:
+upstream cannot fuse across streams or across the permutes.
+
+Eligibility matches the Mamba-1 fused kernel (``mixer_fused_eligible``):
+full-length permutation streams (spiral / zigma / vmamba).  Differentiation
+recomputes through the composable path (``jax.custom_vjp``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from diffma_tpu.ops.conv import causal_conv1d
+from diffma_tpu.ops.fused_mixer import (
+    _identity_streams,
+    _perm_matrices,
+    mixer_fused_eligible,
+)
+from diffma_tpu.ops.norm import rms_norm_gated
+from diffma_tpu.ops.scan_orders import ScanSpec
+from diffma_tpu.ops.selective_scan import _COMPILER_PARAMS, _interpret, _silu
+from diffma_tpu.ops.ssd import ssd_chunked
+
+__all__ = ["mamba2_mixer_fused", "mamba2_dual_mixer_fused"]
+
+
+def _ssd_kernel(
+    x_ref, inw_ref, convw_ref, convb_ref, dtb_ref, A_ref, D_ref,
+    normw_ref, outw_ref, P_ref,
+    out_ref,
+    zxbuf, xbcbuf, csbuf, ybuf, accbuf,
+    *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi,
+):
+    """One batch element: the whole SSD mixer with S unrolled streams.
+
+    Weight refs are 2-D for the single-mixer entry point and 3-D with a
+    leading mixer dim for the dual (stacked-weights) entry point."""
+
+    def _w(ref):
+        return ref[0] if ref.ndim == 3 else ref[...]
+
+    cd = x_ref.dtype
+    prec = (
+        lax.Precision.HIGHEST if cd == jnp.float32 else lax.Precision.DEFAULT
+    )
+    inw, convw, convb = _w(inw_ref), _w(convw_ref), _w(convb_ref)
+    dtb, A, Dw = _w(dtb_ref), _w(A_ref), _w(D_ref)
+    normw, outw = _w(normw_ref), _w(outw_ref)
+    conv_dim = d + 2 * n
+    K = convw.shape[0]
+
+    x = x_ref[0]  # (L, h)
+    zxbuf[...] = jnp.dot(
+        x, inw.astype(cd), preferred_element_type=jnp.float32, precision=prec
+    ).astype(cd)
+    accbuf[...] = jnp.zeros_like(accbuf)
+
+    # Static masks: causal tril (also the exact-cumsum operator) and the
+    # one-hot head-expansion matrix E[h, h*hd:(h+1)*hd] = 1.
+    row = lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tril = row >= col
+    trilf = tril.astype(jnp.float32)
+    erow = lax.broadcasted_iota(jnp.int32, (H, d), 0)
+    ecol = lax.broadcasted_iota(jnp.int32, (H, d), 1) // hd
+    E = (erow == ecol).astype(jnp.float32)  # (H, d)
+
+    for s in range(S):
+        Ps = P_ref[s]  # (L, L) fp32 one-hot, zero pad rows
+        if ident[s]:
+            xs = zxbuf[...]
+        else:
+            xs = jnp.dot(
+                Ps.astype(cd), zxbuf[...],
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(cd)  # (L, 2d + 2n + H)
+
+        z = xs[:, :d]
+        xbc_in = xs[:, d : d + conv_dim].astype(jnp.float32)
+        dtraw = xs[:, d + conv_dim :].astype(jnp.float32)  # (L, H)
+
+        # causal depthwise conv, K taps, zero left-pad
+        acc = xbc_in * convw[K - 1][None, :]
+        for k in range(K - 1):
+            sh = K - 1 - k
+            shifted = jnp.concatenate(
+                [jnp.zeros((sh, conv_dim), jnp.float32), xbc_in[: L - sh]],
+                axis=0,
+            )
+            acc = acc + shifted * convw[k][None, :]
+        xbcbuf[...] = _silu(acc + convb[0][None, :])  # (L, conv_dim) fp32
+        xssm = xbcbuf[:, :d]
+        Bm = xbcbuf[:, d : d + n]
+        Cm = xbcbuf[:, d + n :]
+
+        dt = jax.nn.softplus(dtraw + dtb[0][None, :])  # (L, H) fp32
+        if dt_lo > 0.0 or dt_hi != float("inf"):
+            dt = jnp.clip(dt, dt_lo, dt_hi)
+
+        # Exact inclusive cumsum of dt*A as a tril matmul (fp32, HIGHEST:
+        # the composable path cumsums in fp32; a bf16-rounded cumsum would
+        # compound through the exp).
+        dA = dt * A[0][None, :]  # (L, H), A negative
+        csbuf[...] = jnp.dot(
+            trilf, dA, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        csT = jnp.transpose(csbuf[...])  # (H, L)
+
+        # dt broadcast over each head's hd channels via the one-hot E matmul
+        dt_exp = jnp.dot(
+            dt, E, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )  # (L, d)
+        xdt = xssm * dt_exp  # (L, d) fp32
+
+        cb = lax.dot_general(
+            Cm, Bm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (L, L): cb[t, s] = C_t . B_s
+
+        for h in range(H):
+            # masked decay for head h: exp(cs_t - cs_s) on the causal tril
+            diff = csbuf[:, h : h + 1] - csT[h : h + 1, :]  # (L, L)
+            decay = jnp.exp(jnp.where(tril, diff, -1e30))
+            mh = cb * decay
+            ybuf[:, h * hd : (h + 1) * hd] = jnp.dot(
+                mh, xdt[:, h * hd : (h + 1) * hd],
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        D_exp = jnp.dot(
+            Dw, E, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )  # (1, d)
+        y = ybuf[...] + D_exp * xssm  # (L, d) fp32
+
+        # gated RMSNorm (gate first, single group spanning d:
+        # block/mamba2.py:347-350 with norm_before_gate=False)
+        zf = z.astype(jnp.float32)
+        yg = y * _silu(zf)
+        rms = lax.rsqrt(
+            jnp.mean(jnp.square(yg), axis=-1, keepdims=True) + eps
+        )
+        yn = yg * rms * normw[0][None, :]  # (L, d) fp32
+
+        # inverse-permute merge on the MXU: acc += P_s^T @ y_s
+        if ident[s]:
+            accbuf[...] += yn
+        else:
+            accbuf[...] += lax.dot_general(
+                Ps.astype(cd), yn.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+    merged = (accbuf[...] * scale).astype(cd)
+    out_ref[0] = jnp.dot(
+        merged, outw.astype(cd), preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(out_ref.dtype)
+
+
+def _launch(spec, x, weights, *, stacked, dt_limit, eps):
+    """Shared launcher.  ``x`` is (B, L0, h) or, stacked, (M, B, L0, h);
+    weights are the Mamba2 param tuple, with a leading M axis when stacked."""
+    in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w = weights
+    if stacked:
+        M, B_, L0, h = x.shape
+        G = M * B_
+        x = x.reshape(G, L0, h)
+        m_of = lambda i: i // B_  # noqa: E731
+        lead = lambda shape: (1,) + shape  # noqa: E731
+        widx = lambda i: (m_of(i), 0, 0)  # noqa: E731
+    else:
+        B_, L0, h = x.shape
+        G = B_
+        lead = lambda shape: shape  # noqa: E731
+        widx = lambda i: (0, 0)  # noqa: E731
+    d = out_w.shape[-2]
+    H = A_log.shape[-1]
+    hd = d // H
+    n = (conv_w.shape[-2] - d) // 2
+    S = spec.fwd.shape[0]
+    L = ((L0 + 7) // 8) * 8  # sublane-aligned single chunk
+    if L != L0:
+        x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
+    P = jnp.asarray(_perm_matrices(spec, L))
+    conv_dim = d + 2 * n
+    dproj = in_w.shape[-1]
+    K = conv_w.shape[-1]
+
+    kernel = functools.partial(
+        _ssd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
+        scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
+        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]),
+    )
+    # weight operands, reshaped to 2-D (or 3-D with the leading M axis)
+    A = -jnp.exp(A_log.astype(jnp.float32))
+    ops = (
+        in_w,
+        jnp.swapaxes(conv_w.astype(jnp.float32), -1, -2),  # (K, conv_dim)
+        conv_b.astype(jnp.float32)[..., None, :],
+        dt_bias.astype(jnp.float32)[..., None, :],
+        A[..., None, :],
+        D.astype(jnp.float32)[..., None, :],
+        norm_w.astype(jnp.float32)[..., None, :],
+        out_w,
+    )
+    wspecs = [
+        pl.BlockSpec(lead(s), widx, memory_space=pltpu.VMEM)
+        for s in (
+            (h, dproj), (K, conv_dim), (1, conv_dim), (1, H), (1, H),
+            (1, H), (1, d), (d, h),
+        )
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *wspecs,
+            pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, L, h), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L, dproj), x.dtype),  # zxbuf
+            pltpu.VMEM((L, conv_dim), jnp.float32),  # xbcbuf
+            pltpu.VMEM((L, H), jnp.float32),  # csbuf
+            pltpu.VMEM((L, d), jnp.float32),  # ybuf
+            pltpu.VMEM((L, d), jnp.float32),  # accbuf
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *ops, P)
+    out = out[:, :L0] if L != L0 else out
+    if stacked:
+        out = out.reshape(M, B_, L0, h)
+    return out
+
+
+def _ssd_mixer_ref(spec, x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w,
+                   out_w, *, dt_limit, eps, chunk_size):
+    """Composable-path reference (differentiable); the bwd recompute target.
+    Mirrors Mamba2._forward's non-tp math exactly."""
+    B_, L, _ = x.shape
+    cd = x.dtype
+    d = out_w.shape[0]
+    H = A_log.shape[0]
+    hd = d // H
+    n = (conv_w.shape[0] - d) // 2
+    S, Ls = spec.fwd.shape
+
+    fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
+    xg = jnp.take(x.astype(cd), fwd.reshape(-1), axis=1)
+    zxbcdt = jnp.dot(xg, in_w.astype(cd))
+    xs = zxbcdt.reshape(B_ * S, Ls, zxbcdt.shape[-1])
+    z, xBC, dt = jnp.split(xs, [d, d + d + 2 * n], axis=-1)
+    xBC = causal_conv1d(xBC, conv_w, conv_b, activation="silu")
+    x_ssm, B_ssm, C_ssm = jnp.split(xBC, [d, d + n], axis=-1)
+    y = ssd_chunked(
+        x_ssm.reshape(B_ * S, Ls, H, hd), dt.astype(jnp.float32),
+        -jnp.exp(A_log.astype(jnp.float32)), B_ssm, C_ssm, D,
+        dt_bias=dt_bias, dt_softplus=True, dt_limit=dt_limit,
+        chunk_size=chunk_size,
+    ).reshape(B_ * S, Ls, d)
+    y = rms_norm_gated(y, norm_w, z, eps=eps, group_size=d,
+                       norm_before_gate=False)
+    merge = jnp.asarray(np.ascontiguousarray(spec.merge))
+    ys = y.reshape(B_, S * Ls, d)
+    merged = jnp.take(ys, merge.reshape(-1), axis=1).reshape(
+        B_, L, merge.shape[1], d
+    )
+    merged = jnp.sum(merged, axis=2) * spec.scale
+    return jnp.dot(merged.astype(cd), out_w.astype(cd))
+
+
+def _kw(dt_limit, eps, chunk_size):
+    return dict(dt_limit=tuple(dt_limit), eps=eps, chunk_size=chunk_size)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 10, 11, 12))
+def mamba2_mixer_fused(
+    spec: ScanSpec, x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w,
+    out_w, dt_limit=(0.0, float("inf")), eps=1e-5, chunk_size=256,
+):
+    """Whole SSD mixer in one kernel: ``x (B, L, h) -> (B, L, h)``.
+
+    ``spec`` must satisfy ``mixer_fused_eligible``.  Weight layouts match
+    the Flax params.  Backward recomputes through the composable path."""
+    return _launch(
+        spec, x, (in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w),
+        stacked=False, dt_limit=dt_limit, eps=eps,
+    )
+
+
+def _vjp_fwd(spec, *args):
+    *ws, dt_limit, eps, chunk_size = args
+    return (
+        _launch(spec, ws[0], tuple(ws[1:]), stacked=False,
+                dt_limit=dt_limit, eps=eps),
+        tuple(ws),
+    )
+
+
+def _vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
+    out, vjp = jax.vjp(
+        functools.partial(
+            _ssd_mixer_ref, spec, **_kw(dt_limit, eps, chunk_size)
+        ),
+        *res,
+    )
+    return vjp(g.astype(out.dtype))
+
+
+mamba2_mixer_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _dual_ref(spec, x12, *stacked, dt_limit, eps, chunk_size):
+    o = [
+        _ssd_mixer_ref(
+            spec, x12[m], *(w[m] for w in stacked),
+            **_kw(dt_limit, eps, chunk_size),
+        )
+        for m in range(x12.shape[0])
+    ]
+    return jnp.stack(o)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 10, 11, 12))
+def mamba2_dual_mixer_fused(
+    spec: ScanSpec, x12, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w,
+    out_w, dt_limit=(0.0, float("inf")), eps=1e-5, chunk_size=256,
+):
+    """Dual-branch fused SSD mixer: ``x12 (2, B, L, h)`` + weights stacked
+    on a leading mixer axis -> ``(2, B, L, h)``.  One launch for both
+    branches of a Spiral block."""
+    return _launch(
+        spec, x12, (in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w),
+        stacked=True, dt_limit=dt_limit, eps=eps,
+    )
+
+
+def _dual_vjp_fwd(spec, *args):
+    *ws, dt_limit, eps, chunk_size = args
+    return (
+        _launch(spec, ws[0], tuple(ws[1:]), stacked=True,
+                dt_limit=dt_limit, eps=eps),
+        tuple(ws),
+    )
+
+
+def _dual_vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
+    out, vjp = jax.vjp(
+        functools.partial(
+            _dual_ref, spec, **_kw(dt_limit, eps, chunk_size)
+        ),
+        *res,
+    )
+    return vjp(g.astype(out.dtype))
+
+
+mamba2_dual_mixer_fused.defvjp(_dual_vjp_fwd, _dual_vjp_bwd)

@@ -1,0 +1,201 @@
+"""Block-level fused SSD mixer kernel (ops/fused_ssd.py) parity tests.
+
+The kernel runs in_proj -> one-hot-matmul stream permutation -> conv ->
+chunkless per-head SSD (decay tiles in VMEM) -> gated RMSNorm ->
+inverse-permute merge -> out_proj in one Pallas call (interpret mode
+off-TPU); it must match the composable Mamba2 path in values and (through
+the recompute VJP) gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffma_tpu.ops.fused_ssd import (
+    _ssd_mixer_ref,
+    mamba2_dual_mixer_fused,
+    mamba2_mixer_fused,
+)
+from diffma_tpu.ops.scan_orders import build_scan_spec
+
+_NOLIM = (0.0, float("inf"))
+
+
+def _args(seed=0, B=2, L=16, h=32, d=64, n=8, H=4, K=4, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 9)
+    dproj = 2 * d + 2 * n + H
+    conv_dim = d + 2 * n
+    x = jax.random.normal(ks[0], (B, L, h), dtype)
+    in_w = jax.random.normal(ks[1], (h, dproj)) * 0.05
+    conv_w = jax.random.normal(ks[2], (conv_dim, K)) * 0.3
+    conv_b = jax.random.normal(ks[3], (conv_dim,)) * 0.1
+    dt_bias = jax.random.normal(ks[4], (H,)) * 0.2
+    A_log = jax.random.uniform(ks[5], (H,), minval=0.0, maxval=1.5)
+    D = jax.random.normal(ks[6], (H,)) * 0.5 + 1.0
+    norm_w = jax.random.normal(ks[7], (d,)) * 0.1 + 1.0
+    out_w = jax.random.normal(ks[8], (d, h)) * 0.05
+    return (x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w)
+
+
+def _tol():
+    return 2e-5 if jax.default_backend() != "tpu" else 5e-4
+
+
+@pytest.mark.parametrize(
+    "block_type,layer", [("spiral", 0), ("spiral", 3), ("zig", 1), ("vmamba", 0)]
+)
+def test_forward_matches_composable(block_type, layer):
+    spec = build_scan_spec(block_type, 4, layer)
+    args = _args(seed=layer)
+    got = np.asarray(mamba2_mixer_fused(spec, *args, _NOLIM, 1e-5, 256))
+    want = np.asarray(
+        _ssd_mixer_ref(spec, *args, dt_limit=_NOLIM, eps=1e-5, chunk_size=256)
+    )
+    np.testing.assert_allclose(got, want, rtol=_tol(), atol=_tol())
+
+
+def test_unpadded_length():
+    """L=25 is not sublane-aligned; pads must not leak."""
+    spec = build_scan_spec("zig", 5, 1)
+    args = _args(B=1, L=25)
+    got = np.asarray(mamba2_mixer_fused(spec, *args, _NOLIM, 1e-5, 256))
+    want = np.asarray(
+        _ssd_mixer_ref(spec, *args, dt_limit=_NOLIM, eps=1e-5, chunk_size=256)
+    )
+    np.testing.assert_allclose(got, want, rtol=_tol(), atol=_tol())
+
+
+def test_dt_limit_applied():
+    spec = build_scan_spec("zig", 4, 0)
+    args = _args()
+    lim = (0.01, 0.05)
+    got = np.asarray(mamba2_mixer_fused(spec, *args, lim, 1e-5, 256))
+    want = np.asarray(
+        _ssd_mixer_ref(spec, *args, dt_limit=lim, eps=1e-5, chunk_size=256)
+    )
+    np.testing.assert_allclose(got, want, rtol=_tol(), atol=_tol())
+    unclipped = np.asarray(mamba2_mixer_fused(spec, *args, _NOLIM, 1e-5, 256))
+    assert np.abs(got - unclipped).max() > 1e-4  # the limit must matter
+
+
+def test_dual_matches_two_singles():
+    spec = build_scan_spec("spiral", 4, 1)
+    a1 = _args(seed=1)
+    a2 = _args(seed=2)
+    x12 = jnp.stack([a1[0], a2[0]])
+    stacked = tuple(jnp.stack([w1, w2]) for w1, w2 in zip(a1[1:], a2[1:]))
+    got = np.asarray(
+        mamba2_dual_mixer_fused(spec, x12, *stacked, _NOLIM, 1e-5, 256)
+    )
+    for m, a in enumerate((a1, a2)):
+        want = np.asarray(mamba2_mixer_fused(spec, *a, _NOLIM, 1e-5, 256))
+        np.testing.assert_allclose(got[m], want, rtol=_tol(), atol=_tol())
+
+
+def test_bf16_forward():
+    spec = build_scan_spec("spiral", 4, 0)
+    args = _args(dtype=jnp.bfloat16)
+    got = np.asarray(
+        mamba2_mixer_fused(spec, *args, _NOLIM, 1e-5, 256).astype(jnp.float32)
+    )
+    want = np.asarray(
+        _ssd_mixer_ref(
+            spec, *args, dt_limit=_NOLIM, eps=1e-5, chunk_size=256
+        ).astype(jnp.float32)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_grads_match_composable():
+    spec = build_scan_spec("spiral", 4, 0)
+    args = _args(B=1)
+
+    def f_fused(*a):
+        return jnp.sum(jnp.tanh(mamba2_mixer_fused(spec, *a, _NOLIM, 1e-5, 256)))
+
+    def f_ref(*a):
+        return jnp.sum(
+            jnp.tanh(
+                _ssd_mixer_ref(
+                    spec, *a, dt_limit=_NOLIM, eps=1e-5, chunk_size=256
+                )
+            )
+        )
+
+    g1 = jax.grad(f_fused, argnums=tuple(range(len(args))))(*args)
+    g2 = jax.grad(f_ref, argnums=tuple(range(len(args))))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_mamba2_module_fused_matches_auto():
+    from diffma_tpu.models.mamba2 import Mamba2
+
+    spec = build_scan_spec("spiral", 4, 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    m_auto = Mamba2(d_model=32, d_state=8, scan_impl="auto")
+    m_fused = Mamba2(d_model=32, d_state=8, scan_impl="fused")
+    params = m_auto.init(jax.random.PRNGKey(1), x, spec)
+    params_f = m_fused.init(jax.random.PRNGKey(1), x, spec)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_f
+    )
+    want = np.asarray(m_auto.apply(params, x, spec))
+    got = np.asarray(m_fused.apply(params, x, spec))
+    np.testing.assert_allclose(got, want, rtol=_tol(), atol=_tol())
+
+
+def test_dual_branch_block_fused_matches_auto():
+    """SpiralMambaBlock(use_mamba2) with scan_impl='fused' batches both
+    branches into one stacked SSD kernel launch."""
+    from diffma_tpu.models.blocks import SpiralMambaBlock
+
+    spec = build_scan_spec("spiral", 4, 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    w = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(2), (2, 16, 1)))
+    b_auto = SpiralMambaBlock(
+        hidden=32, d_state=8, use_mamba2=True, scan_impl="auto"
+    )
+    b_fused = SpiralMambaBlock(
+        hidden=32, d_state=8, use_mamba2=True, scan_impl="fused"
+    )
+    params = b_auto.init(jax.random.PRNGKey(3), x, c, w, spec)
+    params_f = b_fused.init(jax.random.PRNGKey(3), x, c, w, spec)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_f
+    )
+    want = np.asarray(b_auto.apply(params, x, c, w, spec))
+    got = np.asarray(b_fused.apply(params, x, c, w, spec))
+    np.testing.assert_allclose(got, want, rtol=_tol(), atol=_tol())
+
+
+@pytest.mark.slow
+def test_dual_branch_block_fused_grads():
+    from diffma_tpu.models.blocks import SpiralMambaBlock
+
+    spec = build_scan_spec("spiral", 4, 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    w = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(2), (2, 16, 1)))
+    b_auto = SpiralMambaBlock(
+        hidden=32, d_state=8, use_mamba2=True, scan_impl="auto"
+    )
+    b_fused = SpiralMambaBlock(
+        hidden=32, d_state=8, use_mamba2=True, scan_impl="fused"
+    )
+    params = b_auto.init(jax.random.PRNGKey(3), x, c, w, spec)
+    g1 = jax.grad(
+        lambda p: jnp.sum(jnp.tanh(b_fused.apply(p, x, c, w, spec)))
+    )(params)
+    g2 = jax.grad(
+        lambda p: jnp.sum(jnp.tanh(b_auto.apply(p, x, c, w, spec)))
+    )(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
