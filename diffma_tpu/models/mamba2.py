@@ -247,20 +247,15 @@ class Mamba2(nn.Module):
             out_w = jax.lax.dynamic_slice_in_dim(out_w, off, d_l, 0)
             d_eff, H_eff = d_l, H_l
         else:
-            # Fan out BEFORE in_proj (per-token matmul commutes with the
-            # token permutation; the reference permutes post-projection
-            # zxbcdt, block/mamba2.py:390 -- equivalent, 4x less gather
-            # traffic at the h-wide input).
-            fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
-            ug = jnp.take(u.astype(cd), fwd.reshape(-1), axis=1)
-            zxbcdt = jnp.dot(ug, in_w.astype(cd))
+            # Project, THEN fan out (the reference order, block/mamba2.py:390).
+            # Fanning out first looks cheaper on gather traffic but makes the
+            # in_proj matmul S-times larger -- measured slower for S=3 spiral.
+            zxbcdt = jnp.dot(u.astype(cd), in_w.astype(cd))
             d_eff, H_eff = d_in, H
-            xs = zxbcdt.reshape(B_ * S, Ls, zxbcdt.shape[-1])
 
-        if tp:
-            fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
-            xs = jnp.take(zxbcdt, fwd.reshape(-1), axis=1)
-            xs = xs.reshape(B_ * S, Ls, zxbcdt.shape[-1])
+        fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
+        xs = jnp.take(zxbcdt, fwd.reshape(-1), axis=1)
+        xs = xs.reshape(B_ * S, Ls, zxbcdt.shape[-1])
 
         z, xBC, dt = jnp.split(xs, [d_eff, d_eff + d_eff + 2 * g * n], axis=-1)
         xBC = causal_conv1d(xBC, conv_w, conv_b, activation="silu")

@@ -95,6 +95,13 @@ def _ssd_kernel(
     erow = lax.broadcasted_iota(jnp.int32, (H, d), 0)
     ecol = lax.broadcasted_iota(jnp.int32, (H, d), 1) // hd
     E = (erow == ecol).astype(jnp.float32)  # (H, d)
+    D_exp = jnp.dot(
+        Dw, E, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )  # (1, d)
+    # -inf off the causal tril so exp() zeroes it; added, not selected
+    # (cheaper than a per-head where on the VPU).
+    neg = jnp.where(tril, 0.0, -1e30)  # (L, L) fp32
 
     for s in range(S):
         Ps = P_ref[s]  # (L, L) fp32 one-hot, zero pad rows
@@ -150,20 +157,18 @@ def _ssd_kernel(
             preferred_element_type=jnp.float32, precision=prec,
         )  # (L, L): cb[t, s] = C_t . B_s
 
+        xdt_c = xdt.astype(cd)
         for h in range(H):
             # masked decay for head h: exp(cs_t - cs_s) on the causal tril
-            diff = csbuf[:, h : h + 1] - csT[h : h + 1, :]  # (L, L)
-            decay = jnp.exp(jnp.where(tril, diff, -1e30))
-            mh = cb * decay
+            diff = csbuf[:, h : h + 1] - csT[h : h + 1, :] + neg  # (L, L)
+            mh = cb * jnp.exp(diff)
+            # dtype-faithful operands: single MXU pass for bf16 models (the
+            # composable path's DEFAULT-precision fp32 einsum multi-passes)
             ybuf[:, h * hd : (h + 1) * hd] = jnp.dot(
-                mh, xdt[:, h * hd : (h + 1) * hd],
+                mh.astype(cd), xdt_c[:, h * hd : (h + 1) * hd],
                 preferred_element_type=jnp.float32, precision=prec,
             )
 
-        D_exp = jnp.dot(
-            Dw, E, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )  # (1, d)
         y = ybuf[...] + D_exp * xssm  # (L, d) fp32
 
         # gated RMSNorm (gate first, single group spanning d:
@@ -284,10 +289,10 @@ def _ssd_mixer_ref(spec, x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w,
     n = (conv_w.shape[0] - d) // 2
     S, Ls = spec.fwd.shape
 
+    zxbcdt = jnp.dot(x.astype(cd), in_w.astype(cd))
     fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
-    xg = jnp.take(x.astype(cd), fwd.reshape(-1), axis=1)
-    zxbcdt = jnp.dot(xg, in_w.astype(cd))
-    xs = zxbcdt.reshape(B_ * S, Ls, zxbcdt.shape[-1])
+    xs = jnp.take(zxbcdt, fwd.reshape(-1), axis=1)
+    xs = xs.reshape(B_ * S, Ls, zxbcdt.shape[-1])
     z, xBC, dt = jnp.split(xs, [d, d + d + 2 * n], axis=-1)
     xBC = causal_conv1d(xBC, conv_w, conv_b, activation="silu")
     x_ssm, B_ssm, C_ssm = jnp.split(xBC, [d, d + n], axis=-1)
