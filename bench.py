@@ -142,6 +142,22 @@ def main():
     sample_time2 = _time_sampler(model2, params2, vae, vae_vars, diffusion, cond)
     img_s_mamba2 = BATCH / sample_time2
 
+    # Mamba2 train steps/sec (aux): fused fwd + hand-derived Pallas bwd.
+    train_diff2 = create_diffusion("")
+    opt2 = optax.adamw(1e-4, weight_decay=0.0)
+    state2 = TrainState.create(params2, opt2)
+    step2 = jax.jit(
+        make_train_step(make_loss_fn(model2, train_diff2), opt2),
+        donate_argnums=(0,),
+    )
+    state2, m2 = step2(state2, cond, jax.random.PRNGKey(8))
+    _fetch(m2["loss"])
+    t0 = time.time()
+    for i in range(10):
+        state2, m2 = step2(state2, cond, jax.random.fold_in(jax.random.PRNGKey(9), i))
+    _fetch(m2["loss"])
+    steps_s_mamba2 = 10.0 / (time.time() - t0)
+
     # --- train steps/sec (aux) ---------------------------------------------
     model = build_model(
         "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16
@@ -181,6 +197,7 @@ def main():
                 "mamba2_images_per_sec": round(img_s_mamba2, 3),
                 "mamba2_vs_baseline": round(img_s_mamba2 / A100_BASELINE_IMG_S, 2),
                 "train_steps_per_sec_bs8": round(steps_s, 3),
+                "mamba2_train_steps_per_sec_bs8": round(steps_s_mamba2, 3),
                 "sample_mfu": sample_mfu,
                 "train_mfu": train_mfu,
                 "model_flops_fwd": flops_fwd,

@@ -277,6 +277,419 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps):
     return out
 
 
+def _ssd_bwd_kernel(
+    x_ref, g_ref, inw_ref, convw_ref, convb_ref, dtb_ref, A_ref, D_ref,
+    normw_ref, outw_ref, P_ref,
+    gx_ref, gin_ref, gconvw_ref, gconvb_ref, gdtb_ref, gA_ref, gD_ref,
+    gnormw_ref, goutw_ref,
+    zxbuf, xs_s, a_s, dt_s, cs_s, y_s, accbuf, gzx,
+    *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, winit,
+):
+    """Hand-derived backward for the fused SSD mixer: ONE Pallas call
+    recomputes the forward (cheap: the fwd is a minority of train time) and
+    emits input + all weight gradients.  The chunkless SSD backward is
+    closed-form matmuls -- mh^T @ g_y, g_y @ xdt^T, decay-weighted sums --
+    so, unlike Mamba-1, no sequential adjoint recurrence is needed.
+
+    Weight-grad outputs use constant (per-mixer) index maps and accumulate
+    across the sequential grid; they are zeroed when a new weight set first
+    appears (``i % winit == 0``)."""
+
+    def _w(ref):
+        return ref[0] if ref.ndim == 3 else ref[...]
+
+    def _acc(ref, val):
+        ref[...] += val[None] if ref.ndim == val.ndim + 1 else val
+
+    cd = x_ref.dtype
+    f32 = jnp.float32
+    prec = (
+        lax.Precision.HIGHEST if cd == jnp.float32 else lax.Precision.DEFAULT
+    )
+    inw, convw, convb = _w(inw_ref), _w(convw_ref), _w(convb_ref)
+    dtb, A, Dw = _w(dtb_ref), _w(A_ref), _w(D_ref)
+    normw, outw = _w(normw_ref), _w(outw_ref)
+    conv_dim = d + 2 * n
+    K = convw.shape[0]
+    i = pl.program_id(0)
+
+    @pl.when(i % winit == 0)
+    def _init():
+        for r in (gin_ref, gconvw_ref, gconvb_ref, gdtb_ref, gA_ref, gD_ref,
+                  gnormw_ref, goutw_ref):
+            r[...] = jnp.zeros_like(r)
+
+    row = lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tril = row >= col
+    trilf = tril.astype(f32)
+    erow = lax.broadcasted_iota(jnp.int32, (H, d), 0)
+    ecol = lax.broadcasted_iota(jnp.int32, (H, d), 1) // hd
+    E = (erow == ecol).astype(f32)  # (H, d)
+    ET = jnp.transpose(E)  # (d, H)
+    D_exp = jnp.dot(
+        Dw, E, preferred_element_type=f32, precision=lax.Precision.HIGHEST
+    )
+    neg = jnp.where(tril, 0.0, -1e30)
+    clip = dt_lo > 0.0 or dt_hi != float("inf")
+
+    x = x_ref[0]
+    zxbuf[...] = jnp.dot(
+        x, inw.astype(cd), preferred_element_type=f32, precision=prec
+    ).astype(cd)
+    accbuf[...] = jnp.zeros_like(accbuf)
+
+    # ---- recompute phase (same math as the forward kernel) ---------------
+    for s in range(S):
+        if ident[s]:
+            xs = zxbuf[...]
+        else:
+            xs = jnp.dot(
+                P_ref[s].astype(cd), zxbuf[...],
+                preferred_element_type=f32, precision=prec,
+            ).astype(cd)
+        xs_s[s] = xs
+        xbc_in = xs[:, d : d + conv_dim].astype(f32)
+        acc = xbc_in * convw[K - 1][None, :]
+        for k in range(K - 1):
+            sh = K - 1 - k
+            shifted = jnp.concatenate(
+                [jnp.zeros((sh, conv_dim), f32), xbc_in[: L - sh]], axis=0
+            )
+            acc = acc + shifted * convw[k][None, :]
+        a = acc + convb[0][None, :]
+        a_s[s] = a
+        xbc = _silu(a)
+        xssm = xbc[:, :d]
+        Bm = xbc[:, d : d + n]
+        Cm = xbc[:, d + n :]
+        dtraw = xs[:, d + conv_dim :].astype(f32)
+        dt = jax.nn.softplus(dtraw + dtb[0][None, :])
+        if clip:
+            dt = jnp.clip(dt, dt_lo, dt_hi)
+        dt_s[s] = dt
+        dA = dt * A[0][None, :]
+        cs = jnp.dot(
+            trilf, dA, preferred_element_type=f32,
+            precision=lax.Precision.HIGHEST,
+        )
+        cs_s[s] = cs
+        csT = jnp.transpose(cs)
+        dt_exp = jnp.dot(
+            dt, E, preferred_element_type=f32, precision=lax.Precision.HIGHEST
+        )
+        xdt_c = (xssm * dt_exp).astype(cd)
+        cb = lax.dot_general(
+            Cm, Bm, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        ys = []
+        for h in range(H):
+            diff = cs[:, h : h + 1] - csT[h : h + 1, :] + neg
+            mh = cb * jnp.exp(diff)
+            ys.append(
+                jnp.dot(
+                    mh.astype(cd), xdt_c[:, h * hd : (h + 1) * hd],
+                    preferred_element_type=f32, precision=prec,
+                )
+            )
+        y = jnp.concatenate(ys, axis=1) + D_exp * xssm
+        y_s[s] = y
+        z = xs[:, :d].astype(f32)
+        yg = y * _silu(z)
+        rms = lax.rsqrt(jnp.mean(jnp.square(yg), axis=-1, keepdims=True) + eps)
+        yn = yg * rms * normw[0][None, :]
+        if ident[s]:
+            accbuf[...] += yn
+        else:
+            accbuf[...] += lax.dot_general(
+                P_ref[s].astype(cd), yn.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )
+    merged = accbuf[...] * scale  # (L, d) fp32
+
+    # ---- backward phase --------------------------------------------------
+    g = g_ref[0].astype(f32)  # (L, h)
+    _acc(
+        goutw_ref,
+        lax.dot_general(
+            merged.astype(cd), g.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        ),
+    )
+    g_merged = lax.dot_general(
+        g.astype(cd), outw.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )  # (L, d) = g @ out_w^T
+
+    gzx[...] = jnp.zeros_like(gzx)
+    for s in range(S):
+        xs = xs_s[s]
+        a = a_s[s]
+        dt = dt_s[s]
+        cs = cs_s[s]
+        y = y_s[s]
+        csT = jnp.transpose(cs)
+        xbc = _silu(a)
+        xssm = xbc[:, :d]
+        Bm = xbc[:, d : d + n]
+        Cm = xbc[:, d + n :]
+        dt_exp = jnp.dot(
+            dt, E, preferred_element_type=f32, precision=lax.Precision.HIGHEST
+        )
+        xdt = xssm * dt_exp
+        cb = lax.dot_general(
+            Cm, Bm, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        z = xs[:, :d].astype(f32)
+        sgz = jax.nn.sigmoid(z)
+        silz = z * sgz
+        dsilz = sgz * (1.0 + z * (1.0 - sgz))
+        yg = y * silz
+        rms = lax.rsqrt(jnp.mean(jnp.square(yg), axis=-1, keepdims=True) + eps)
+
+        if ident[s]:
+            g_yn = g_merged * scale
+        else:
+            g_yn = (
+                jnp.dot(
+                    P_ref[s].astype(cd), g_merged.astype(cd),
+                    preferred_element_type=f32, precision=prec,
+                )
+                * scale
+            )
+
+        # gated RMSNorm backward: yn = yg * rms * w, rms row-wise
+        _acc(gnormw_ref, jnp.sum(g_yn * yg * rms, axis=0, keepdims=True))
+        gw = g_yn * normw[0][None, :]
+        tsum = jnp.sum(gw * yg, axis=-1, keepdims=True)
+        g_yg = gw * rms - (rms * rms * rms / d) * tsum * yg
+        g_y = g_yg * silz
+        g_z = g_yg * y * dsilz
+
+        _acc(
+            gD_ref,
+            jnp.dot(
+                jnp.sum(g_y * xssm, axis=0, keepdims=True), ET,
+                preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+            ),
+        )
+        g_xssm = D_exp * g_y
+        g_y_c = g_y.astype(cd)
+        xdt_cd = xdt.astype(cd)
+        g_cb = jnp.zeros((L, L), f32)
+        gxdt_parts, gcsr, gcsc = [], [], []
+        for h in range(H):
+            diff = cs[:, h : h + 1] - csT[h : h + 1, :] + neg
+            decay = jnp.exp(diff)
+            mh = cb * decay
+            g_yh = g_y_c[:, h * hd : (h + 1) * hd]
+            gxdt_parts.append(
+                lax.dot_general(
+                    mh.astype(cd), g_yh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=prec,
+                )
+            )  # mh^T @ g_yh
+            g_mh = lax.dot_general(
+                g_yh, xdt_cd[:, h * hd : (h + 1) * hd],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )  # (L, L) = g_yh @ xdt_h^T
+            g_cb += g_mh * decay
+            g_diff = g_mh * mh
+            gcsr.append(jnp.sum(g_diff, axis=1, keepdims=True))
+            gcsc.append(jnp.sum(g_diff, axis=0, keepdims=True))
+        g_xdt = jnp.concatenate(gxdt_parts, axis=1)  # (L, d)
+        g_cs = jnp.concatenate(gcsr, axis=1) - jnp.transpose(
+            jnp.concatenate(gcsc, axis=0)
+        )  # (L, H)
+        g_C = jnp.dot(
+            g_cb.astype(cd), Bm.astype(cd),
+            preferred_element_type=f32, precision=prec,
+        )
+        g_B = lax.dot_general(
+            g_cb.astype(cd), Cm.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        g_xssm += dt_exp * g_xdt
+        g_dt = jnp.dot(
+            xssm * g_xdt, ET,
+            preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+        )  # (L, H)
+        # cs = tril @ dA  =>  g_dA = tril^T @ g_cs (reverse cumsum)
+        g_dA = lax.dot_general(
+            trilf, g_cs, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=lax.Precision.HIGHEST,
+        )
+        g_dt += g_dA * A[0][None, :]
+        _acc(gA_ref, jnp.sum(g_dA * dt, axis=0, keepdims=True))
+        dtraw = xs[:, d + conv_dim :].astype(f32)
+        dtpre = dtraw + dtb[0][None, :]
+        if clip:
+            dtsp = jax.nn.softplus(dtpre)
+            g_dt = g_dt * ((dtsp >= dt_lo) & (dtsp <= dt_hi)).astype(f32)
+        g_dtraw = g_dt * jax.nn.sigmoid(dtpre)
+        _acc(gdtb_ref, jnp.sum(g_dtraw, axis=0, keepdims=True))
+
+        # conv backward (K shifted taps; sh = K-1-k rows of left-shift)
+        g_xbc = jnp.concatenate([g_xssm, g_B, g_C], axis=1)  # (L, conv_dim)
+        sa = jax.nn.sigmoid(a)
+        g_a = g_xbc * (sa * (1.0 + a * (1.0 - sa)))
+        _acc(gconvb_ref, jnp.sum(g_a, axis=0, keepdims=True))
+        xbc_in = xs[:, d : d + conv_dim].astype(f32)
+        g_xc_in = g_a * convw[K - 1][None, :]
+        rows = [None] * K
+        rows[K - 1] = jnp.sum(xbc_in * g_a, axis=0, keepdims=True)
+        for k in range(K - 1):
+            sh = K - 1 - k
+            shifted = jnp.concatenate(
+                [jnp.zeros((sh, conv_dim), f32), xbc_in[: L - sh]], axis=0
+            )
+            rows[k] = jnp.sum(shifted * g_a, axis=0, keepdims=True)
+            g_xc_in += jnp.concatenate(
+                [(g_a * convw[k][None, :])[sh:], jnp.zeros((sh, conv_dim), f32)],
+                axis=0,
+            )
+        _acc(gconvw_ref, jnp.concatenate(rows, axis=0))  # (K, conv_dim)
+
+        g_xs = jnp.concatenate([g_z, g_xc_in, g_dtraw], axis=1)  # (L, dproj)
+        if ident[s]:
+            gzx[...] += g_xs
+        else:
+            gzx[...] += lax.dot_general(
+                P_ref[s].astype(cd), g_xs.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )  # P^T @ g_xs
+
+    gzxv = gzx[...]
+    _acc(
+        gin_ref,
+        lax.dot_general(
+            x, gzxv.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        ),
+    )  # x^T @ g_zx -> (h, dproj)
+    gx = lax.dot_general(
+        gzxv.astype(cd), inw.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )  # g_zx @ in_w^T -> (L, h)
+    gx_ref[0] = gx.astype(gx_ref.dtype)
+
+
+def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
+    """Backward launcher mirroring ``_launch``; returns cotangents for
+    (x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w)."""
+    in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w = weights
+    if stacked:
+        M, B_, L0, h = x.shape
+        G = M * B_
+        x = x.reshape(G, L0, h)
+        g = g.reshape(G, L0, h)
+        m_of = lambda i: i // B_  # noqa: E731
+        lead = lambda shape: (1,) + shape  # noqa: E731
+        widx = lambda i: (m_of(i), 0, 0)  # noqa: E731
+        glead = lambda shape: (M,) + shape  # noqa: E731
+        winit = B_
+    else:
+        B_, L0, h = x.shape
+        G = B_
+        lead = lambda shape: shape  # noqa: E731
+        widx = lambda i: (0, 0)  # noqa: E731
+        glead = lambda shape: shape  # noqa: E731
+        winit = G
+    d = out_w.shape[-2]
+    H = A_log.shape[-1]
+    hd = d // H
+    n = (conv_w.shape[-2] - d) // 2
+    S = spec.fwd.shape[0]
+    L = ((L0 + 7) // 8) * 8
+    if L != L0:
+        x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, L - L0), (0, 0)))
+    P = jnp.asarray(_perm_matrices(spec, L))
+    conv_dim = d + 2 * n
+    dproj = in_w.shape[-1]
+    K = conv_w.shape[-1]
+
+    kernel = functools.partial(
+        _ssd_bwd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
+        scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
+        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), winit=winit,
+    )
+    A = -jnp.exp(A_log.astype(jnp.float32))
+    ops = (
+        in_w,
+        jnp.swapaxes(conv_w.astype(jnp.float32), -1, -2),
+        conv_b.astype(jnp.float32)[..., None, :],
+        dt_bias.astype(jnp.float32)[..., None, :],
+        A[..., None, :],
+        D.astype(jnp.float32)[..., None, :],
+        norm_w.astype(jnp.float32)[..., None, :],
+        out_w,
+    )
+    wshapes = (
+        (h, dproj), (K, conv_dim), (1, conv_dim), (1, H), (1, H),
+        (1, H), (1, d), (d, h),
+    )
+    wspecs = [
+        pl.BlockSpec(lead(s), widx, memory_space=pltpu.VMEM) for s in wshapes
+    ]
+    gshapes = ((h, dproj), (K, conv_dim), (1, conv_dim), (1, H), (1, H),
+               (1, H), (1, d), (d, h))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *wspecs,
+            pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec(lead(s), widx, memory_space=pltpu.VMEM)
+                for s in gshapes
+            ],
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, L, h), x.dtype),
+            *[
+                jax.ShapeDtypeStruct(glead(s), jnp.float32) for s in gshapes
+            ],
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, dproj), x.dtype),  # zxbuf
+            pltpu.VMEM((S, L, dproj), x.dtype),  # xs_s
+            pltpu.VMEM((S, L, conv_dim), jnp.float32),  # a_s
+            pltpu.VMEM((S, L, H), jnp.float32),  # dt_s
+            pltpu.VMEM((S, L, H), jnp.float32),  # cs_s
+            pltpu.VMEM((S, L, d), jnp.float32),  # y_s
+            pltpu.VMEM((L, d), jnp.float32),  # accbuf
+            pltpu.VMEM((L, dproj), jnp.float32),  # gzx
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, g.astype(x.dtype), *ops, P)
+    gx, gin, gconvw, gconvb, gdtb, gA, gD, gnormw, goutw = outs
+    gx = gx[:, :L0] if L != L0 else gx
+    if stacked:
+        gx = gx.reshape(M, B_, L0, h)
+    g_A_log = gA[..., 0, :] * A  # A = -exp(A_log) => dA/dA_log = A
+    return (
+        gx,
+        gin,
+        jnp.swapaxes(gconvw, -1, -2),
+        gconvb[..., 0, :],
+        gdtb[..., 0, :],
+        g_A_log,
+        gD[..., 0, :],
+        gnormw[..., 0, :],
+        goutw,
+    )
+
+
 def _ssd_mixer_ref(spec, x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w,
                    out_w, *, dt_limit, eps, chunk_size):
     """Composable-path reference (differentiable); the bwd recompute target.
@@ -342,13 +755,10 @@ def _vjp_fwd(spec, *args):
 
 
 def _vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
-    out, vjp = jax.vjp(
-        functools.partial(
-            _ssd_mixer_ref, spec, **_kw(dt_limit, eps, chunk_size)
-        ),
-        *res,
+    return _launch_bwd(
+        spec, res[0], g, tuple(res[1:]), stacked=False,
+        dt_limit=dt_limit, eps=eps,
     )
-    return vjp(g.astype(out.dtype))
 
 
 mamba2_mixer_fused.defvjp(_vjp_fwd, _vjp_bwd)
@@ -389,13 +799,10 @@ def _dual_vjp_fwd(spec, *args):
 
 
 def _dual_vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
-    out, vjp = jax.vjp(
-        functools.partial(
-            _dual_ref, spec, **_kw(dt_limit, eps, chunk_size)
-        ),
-        *res,
+    return _launch_bwd(
+        spec, res[0], g, tuple(res[1:]), stacked=True,
+        dt_limit=dt_limit, eps=eps,
     )
-    return vjp(g.astype(out.dtype))
 
 
 mamba2_dual_mixer_fused.defvjp(_dual_vjp_fwd, _dual_vjp_bwd)
