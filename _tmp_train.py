@@ -7,7 +7,7 @@ from diffma_tpu.train.train import make_loss_fn, synthetic_batch
 BATCH, latent, tokens = 8, 28, 196
 cond = synthetic_batch(jax.random.PRNGKey(0), BATCH, latent, tokens)
 diff = create_diffusion("")
-for m2 in (True,):
+for m2 in (False,):
     for impl in ("auto", "fused"):
         model = build_model("DiffMa-B/2", input_size=latent, d_state=16,
                             dtype=jnp.bfloat16, use_mamba2=m2, scan_impl=impl)

@@ -158,9 +158,11 @@ def main():
     _fetch(m2["loss"])
     steps_s_mamba2 = 10.0 / (time.time() - t0)
 
-    # --- train steps/sec (aux) ---------------------------------------------
+    # --- train steps/sec (aux): fused wins training too (decomposed
+    # Pallas-adjoint VJP), so the protocol uses it on TPU -------------------
     model = build_model(
-        "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16
+        "DiffMa-B/2", input_size=latent, d_state=16, dtype=jnp.bfloat16,
+        scan_impl=sampler_impl,
     )
     params = model.init(
         jax.random.PRNGKey(1), cond["z"], jnp.zeros((BATCH,), jnp.int32),

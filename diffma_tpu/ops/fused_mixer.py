@@ -45,6 +45,7 @@ from diffma_tpu.ops.selective_scan import (
     _CHUNK,
     _COMPILER_PARAMS,
     _interpret,
+    _selective_scan_pallas_bwd_impl,
     _silu,
     selective_scan,
 )
@@ -78,14 +79,20 @@ def _perm_matrices(spec: ScanSpec, Lp: int):
 def _mixer_kernel(
     x_ref, inw_ref, convw_ref, convb_ref, xpw_ref, dtw_ref, dtb_ref,
     AT_ref, D_ref, outw_ref, P_ref,
-    out_ref,
-    xzbuf, ubuf, dts, Bbuf, Cbuf, abuf, bbuf, hbuf, ybuf, accbuf,
-    *, L, Q, d, r, n, S, scale, ident,
+    out_ref, *rest,
+    L, Q, d, r, n, S, scale, ident, want_merged=False,
 ):
     """One batch element: the whole mixer with S unrolled streams.
 
     Weight refs are 2-D for the single-mixer entry point and 3-D with a
-    leading block dim of 1 for the dual (stacked-weights) entry point."""
+    leading block dim of 1 for the dual (stacked-weights) entry point.
+    With ``want_merged`` a second output ref receives the pre-out_proj
+    merged activations (saved as a VJP residual)."""
+    if want_merged:
+        merged_ref, *rest = rest
+    else:
+        merged_ref = None
+    (xzbuf, ubuf, dts, Bbuf, Cbuf, abuf, bbuf, hbuf, ybuf, accbuf) = rest
 
     def _w(ref):
         return ref[0] if ref.ndim == 3 else ref[...]
@@ -184,13 +191,16 @@ def _mixer_kernel(
             )
 
     merged = (accbuf[...] * scale).astype(cd)
+    if merged_ref is not None:
+        merged_ref[0] = merged
     out_ref[0] = jnp.dot(
         merged, outw.astype(cd), preferred_element_type=jnp.float32,
         precision=prec,
     ).astype(out_ref.dtype)
 
 
-def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
+def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
+              want_merged=False):
     B_, L0, h = x.shape
     d = A.shape[0]
     n = A.shape[1]
@@ -206,8 +216,13 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
     ident = _identity_streams(spec)
     kernel = functools.partial(
         _mixer_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S, scale=float(spec.scale),
-        ident=ident,
+        ident=ident, want_merged=want_merged,
     )
+    row3 = lambda i: (i, 0, 0)  # noqa: E731
+    ospec = pl.BlockSpec((1, L, h), row3, memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, L, d), row3, memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((B_, L, h), x.dtype)
+    mshape = jax.ShapeDtypeStruct((B_, L, d), x.dtype)
     const = lambda i: tuple(0 for _ in range(2))  # noqa: E731
     out = pl.pallas_call(
         kernel,
@@ -225,10 +240,8 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
             pl.BlockSpec((d, h), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B_, L, h), x.dtype),
+        out_specs=[ospec, mspec] if want_merged else ospec,
+        out_shape=[oshape, mshape] if want_merged else oshape,
         scratch_shapes=[
             pltpu.VMEM((L, 2 * d), x.dtype),  # xzbuf
             pltpu.VMEM((L, d), jnp.float32),  # ubuf
@@ -256,6 +269,11 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
         out_w,
         P,
     )
+    if want_merged:
+        out, merged = out
+        if L != L0:
+            out, merged = out[:, :L0], merged[:, :L0]
+        return out, merged
     return out[:, :L0] if L != L0 else out
 
 
@@ -293,7 +311,7 @@ def _mixer_ref(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
     return jnp.dot(merged.astype(cd), out_w.astype(cd))
 
 
-def _dual_fwd_impl(spec, x12, *stacked):
+def _dual_fwd_impl(spec, x12, *stacked, want_merged=False):
     """Both mixers of a dual-branch block in ONE launch: grid (2*B,), the
     first B items use weight set 0, the rest set 1 (halves launch count for
     the Spiral block, block/mamba_block.py:107-108)."""
@@ -314,10 +332,15 @@ def _dual_fwd_impl(spec, x12, *stacked):
     ident = _identity_streams(spec)
     kernel = functools.partial(
         _mixer_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S, scale=float(spec.scale),
-        ident=ident,
+        ident=ident, want_merged=want_merged,
     )
     K = conv_w.shape[2]
     m_of = lambda i: i // B_  # noqa: E731
+    row3 = lambda i: (i, 0, 0)  # noqa: E731
+    ospec = pl.BlockSpec((1, L, h), row3, memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, L, d), row3, memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((M * B_, L, h), x.dtype)
+    mshape = jax.ShapeDtypeStruct((M * B_, L, d), x.dtype)
     out = pl.pallas_call(
         kernel,
         grid=(M * B_,),
@@ -334,10 +357,8 @@ def _dual_fwd_impl(spec, x12, *stacked):
             pl.BlockSpec((1, d, h), lambda i: (m_of(i), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((M * B_, L, h), x.dtype),
+        out_specs=[ospec, mspec] if want_merged else ospec,
+        out_shape=[oshape, mshape] if want_merged else oshape,
         scratch_shapes=[
             pltpu.VMEM((L, 2 * d), x.dtype),
             pltpu.VMEM((L, d), jnp.float32),
@@ -365,6 +386,11 @@ def _dual_fwd_impl(spec, x12, *stacked):
         out_w,
         P,
     )
+    if want_merged:
+        out, merged = out
+        out = out[:, :L0] if L != L0 else out
+        merged = merged[:, :L0] if L != L0 else merged
+        return out.reshape(M, B_, L0, h), merged.reshape(M, B_, L0, d)
     out = out[:, :L0] if L != L0 else out
     return out.reshape(M, B_, L0, h)
 
@@ -377,6 +403,78 @@ def _dual_ref(spec, x12, *stacked):
     return jnp.stack(o)
 
 
+def _pre_scan(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b):
+    """Pre-scan segment of the composable path (matmuls + conv only; no
+    sequential recurrence), used by the decomposed backward."""
+    B_, L, _ = x.shape
+    cd = x.dtype
+    r = dt_w.shape[0]
+    n = (xp_w.shape[1] - r) // 2
+    S, Ls = spec.fwd.shape
+    xz = jnp.dot(x, in_w.astype(cd))
+    fwd = jnp.asarray(np.ascontiguousarray(spec.fwd))
+    xs = jnp.take(xz, fwd.reshape(-1), axis=1).reshape(B_ * S, Ls, -1)
+    u0, z = jnp.split(xs, 2, axis=-1)
+    u = causal_conv1d(u0, conv_w, conv_b, activation="silu")
+    x_dbl = jnp.dot(u, xp_w.astype(u.dtype))
+    dt_r, B_ssm, C_ssm = jnp.split(x_dbl, [r, r + n], axis=-1)
+    delta = (
+        jnp.dot(dt_r.astype(jnp.float32), dt_w.astype(jnp.float32))
+        + dt_b.astype(jnp.float32)
+    )
+    return u, delta, B_ssm, C_ssm, z
+
+
+def _manual_bwd(
+    spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w, merged, g
+):
+    """Decomposed backward for the fused mixer: manual out_proj/merge
+    adjoints (``merged`` saved by the fused forward), the hand-written
+    Pallas scan backward, and ``jax.vjp`` over the scan-free pre-scan
+    segment.  The sequential scan forward therefore runs exactly as often
+    as on the composable path (once, inside the scan backward's chunked
+    recompute) while the primal keeps the fused kernel's HBM savings."""
+    cd = x.dtype
+    B_, L0, _ = x.shape
+    S = spec.fwd.shape[0]
+    g = g.astype(cd)
+    g_out_w = jnp.tensordot(
+        merged.astype(cd), g, axes=((0, 1), (0, 1))
+    ).astype(out_w.dtype)  # (d, h)
+    g_merged = jnp.einsum("blh,dh->bld", g, out_w.astype(cd))
+    # Merge adjoint: each stream holds every token exactly once (eligible
+    # specs are full-length permutations), so the adjoint of
+    # merged = sum_s P_s^T y_s * scale is the forward fanout gather.
+    fwd_idx = jnp.asarray(np.ascontiguousarray(spec.fwd))
+    g_y = (
+        jnp.take(g_merged, fwd_idx.reshape(-1), axis=1).reshape(
+            B_ * S, L0, -1
+        )
+        * spec.scale
+    ).astype(cd)
+
+    (u, delta, B_ssm, C_ssm, z), vjp1 = jax.vjp(
+        functools.partial(_pre_scan, spec),
+        x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b,
+    )
+    du, ddelta, dA, dB, dC, dD, dz = _selective_scan_pallas_bwd_impl(
+        u, delta, A, B_ssm, C_ssm, D, z, g_y
+    )
+    gx, g_in_w, g_conv_w, g_conv_b, g_xp_w, g_dt_w, g_dt_b = vjp1(
+        (
+            du.astype(u.dtype),
+            ddelta.astype(delta.dtype),
+            dB.astype(B_ssm.dtype),
+            dC.astype(C_ssm.dtype),
+            dz.astype(z.dtype),
+        )
+    )
+    return (
+        gx, g_in_w, g_conv_w, g_conv_b, g_xp_w, g_dt_w, g_dt_b,
+        dA.astype(A.dtype), dD.astype(D.dtype), g_out_w,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def mamba_dual_mixer_fused(spec: ScanSpec, x12, *stacked):
     """Dual-branch fused mixer: ``x12 (2, B, L, h)`` + weights stacked on a
@@ -385,12 +483,22 @@ def mamba_dual_mixer_fused(spec: ScanSpec, x12, *stacked):
 
 
 def _dual_vjp_fwd(spec, x12, *stacked):
-    return _dual_fwd_impl(spec, x12, *stacked), (x12,) + stacked
+    out, merged = _dual_fwd_impl(spec, x12, *stacked, want_merged=True)
+    return out, (x12,) + stacked + (merged,)
 
 
 def _dual_vjp_bwd(spec, res, g):
-    out, vjp = jax.vjp(functools.partial(_dual_ref, spec), *res)
-    return vjp(g.astype(out.dtype))
+    x12, merged = res[0], res[-1]
+    stacked = res[1:-1]
+    grads = [
+        _manual_bwd(
+            spec, x12[m], *(w[m] for w in stacked), merged[m], g[m]
+        )
+        for m in range(x12.shape[0])
+    ]
+    return tuple(
+        jnp.stack([grads[0][k], grads[1][k]]) for k in range(len(grads[0]))
+    )
 
 
 mamba_dual_mixer_fused.defvjp(_dual_vjp_fwd, _dual_vjp_bwd)
@@ -403,18 +511,18 @@ def mamba_mixer_fused(
     """Whole mixer in one kernel: ``x (B, L, h) -> (B, L, h)``.
 
     ``spec`` must satisfy ``mixer_fused_eligible``.  Weight layouts match the
-    Flax params (input-major).  Backward recomputes through the composable
-    path."""
+    Flax params (input-major).  Backward is decomposed: Pallas scan adjoint
+    plus autodiff over the scan-free segments (see ``_manual_bwd``)."""
     return _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w)
 
 
 def _vjp_fwd(spec, *args):
-    return _fwd_impl(spec, *args), args
+    out, merged = _fwd_impl(spec, *args, want_merged=True)
+    return out, args + (merged,)
 
 
 def _vjp_bwd(spec, res, g):
-    out, vjp = jax.vjp(functools.partial(_mixer_ref, spec), *res)
-    return vjp(g.astype(out.dtype))
+    return _manual_bwd(spec, *res, g)
 
 
 mamba_mixer_fused.defvjp(_vjp_fwd, _vjp_bwd)
