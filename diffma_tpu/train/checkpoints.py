@@ -59,7 +59,9 @@ def find_model(path: str, load_ckpt_type: str = "ema") -> Dict[str, Any]:
     """Load the 'ema' (or 'model'/'params') sub-tree from either an Orbax
     directory or a reference torch pickle (train.py:45-52 semantics)."""
     if os.path.isdir(path):
-        ckpt = _ckptr().restore(path)
+        # Orbax/tensorstore requires absolute paths; the reference CLI
+        # accepts relative ones (sample.py --ckpt), so normalise here.
+        ckpt = _ckptr().restore(os.path.abspath(path))
     else:
         from diffma_tpu.utils.torch_io import load_torch_checkpoint
 

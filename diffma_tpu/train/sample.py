@@ -69,7 +69,7 @@ def main(cfg):
         dt_rank=int(cfg.get("dt_rank", 16)),
         d_state=int(cfg.get("d_state", 16)),
         use_mamba2=bool(cfg.get("use_mamba2", False)),
-        # fused single-kernel mixer inner on TPU (inference-only win)
+        # whole-block fused Pallas mixer kernels on TPU
         scan_impl=str(
             cfg.get(
                 "scan_impl",
@@ -208,6 +208,8 @@ def main(cfg):
 def cli():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="checkpoint path (reference sample.py --ckpt)")
     parser.add_argument("--use-mamba2", dest="use_mamba2", action="store_true",
                         default=None)
     main(parse_cli(parser))

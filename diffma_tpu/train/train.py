@@ -204,6 +204,16 @@ def main(cfg) -> Optional[TrainState]:
         dt_rank=int(cfg.get("dt_rank", 16)),
         d_state=int(cfg.get("d_state", 16)),
         use_mamba2=bool(cfg.get("use_mamba2", False)),
+        # whole-block fused Pallas kernels win training too (decomposed
+        # Pallas-adjoint VJPs); modules fall back per-spec when ineligible
+        scan_impl=str(
+            cfg.get(
+                "scan_impl",
+                "fused"
+                if (jax.default_backend() == "tpu" and tp == 1 and sp == 1)
+                else "auto",
+            )
+        ),
         remat=bool(cfg.get("remat", False)),
         mesh=mesh if (tp > 1 or sp > 1) else None,
         tp_axis="tp" if tp > 1 else None,
