@@ -7,9 +7,9 @@ BATCH, STEPS, latent, tokens = 8, 250, 28, 196
 cond = synthetic_batch(jax.random.PRNGKey(0), BATCH, latent, tokens)
 diffusion = create_diffusion(str(STEPS))
 
-for impl in ("fused",):
-    model = build_model("DiffMa-B/2", input_size=latent, d_state=16,
-                        dtype=jnp.bfloat16, use_mamba2=True, scan_impl=impl)
+for impl in ("auto", "fused"):
+    model = build_model("ViM-B/2", input_size=latent, d_state=16,
+                        dtype=jnp.bfloat16, use_mamba2=False, scan_impl=impl)
     params = model.init(jax.random.PRNGKey(1), cond["z"],
                         jnp.zeros((BATCH,), jnp.int32), cond["y"], cond["y2"], cond["w"])["params"]
 

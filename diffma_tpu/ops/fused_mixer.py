@@ -21,11 +21,13 @@ CrossScan -> 3x mamba_inner_fn -> CrossMerge -> out_proj inside
 mamba_inner_fn) one level higher than the CUDA kernels could: upstream
 launches 3-4 sequential fused kernels plus separate permutation kernels.
 
-Eligible specs: full-length permutation streams without the Mamba1 'vim'
-feature-flip quirk -- i.e. spiral / zigma / vmamba.  ViM (quirk) and
-EfficientVMamba (quarter-length atrous partition) fall back to the
-composable path.  Differentiation recomputes through the composable path
-(``jax.custom_vjp``), exactly like the round-1 kernel.
+Eligible specs: full-length permutation streams -- spiral / zigma / vim /
+vmamba.  The Mamba1 'vim' feature-flip quirk runs in-kernel (per-stream
+out_proj with a column-flipped W for the reverse stream); only
+EfficientVMamba's quarter-length atrous partition falls back to the
+composable path.  Differentiation is decomposed (``jax.custom_vjp``):
+manual out_proj/merge adjoints + the Pallas scan backward + autodiff over
+the scan-free pre-scan segment.
 """
 
 from __future__ import annotations
@@ -54,10 +56,10 @@ __all__ = ["mamba_mixer_fused", "mamba_dual_mixer_fused", "mixer_fused_eligible"
 
 
 def mixer_fused_eligible(spec: ScanSpec) -> bool:
-    """Full-length permutation streams, no vim quirk."""
-    return (
-        spec.fwd.shape[1] == spec.seq_len and not spec.mamba1_vim_quirk
-    )
+    """Full-length permutation streams (spiral / zigma / vim / vmamba).
+    Only EfficientVMamba's quarter-length atrous partition is out.  The
+    Mamba1 'vim' feature-flip quirk is handled inside the kernels."""
+    return spec.fwd.shape[1] == spec.seq_len
 
 
 @functools.lru_cache(maxsize=None)
@@ -80,7 +82,7 @@ def _mixer_kernel(
     x_ref, inw_ref, convw_ref, convb_ref, xpw_ref, dtw_ref, dtb_ref,
     AT_ref, D_ref, outw_ref, P_ref,
     out_ref, *rest,
-    L, Q, d, r, n, S, scale, ident, want_merged=False,
+    L, Q, d, r, n, S, scale, ident, want_merged=False, quirk=False,
 ):
     """One batch element: the whole mixer with S unrolled streams.
 
@@ -177,11 +179,26 @@ def _mixer_kernel(
         z = xs[:, d:].astype(jnp.float32)
         yg = y * _silu(z)  # (L, d) fp32
 
+        if quirk:
+            # Reference Mamba1 'vim' merge bug (block/mamba.py:362-367):
+            # streams stay in their own token order, out_proj runs per
+            # stream, and the reverse stream's OUTPUT features are flipped
+            # before averaging.  flip_h(y @ W) == y @ flip(W, out_axis).
+            if merged_ref is not None:
+                merged_ref[0, s * L : (s + 1) * L] = yg.astype(cd)
+            h_out = outw.shape[-1]
+            # quirk mode receives out_w stacked as [W, flip_h(W)] (Mosaic
+            # has no rev lowering); stream 1 uses the flipped variant.
+            w_s = outw if s == 0 else outw_ref[1]
+            accbuf[:, :h_out] += jnp.dot(
+                yg.astype(cd), w_s.astype(cd),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
         # inverse-permute merge on the MXU: acc += P_s^T @ y_s.  Dtype-
         # faithful precision: the composable path merges in the model dtype,
         # so rounding yg through bf16 here matches it; fp32 models take the
         # multi-pass exact path.
-        if ident[s]:
+        elif ident[s]:
             accbuf[...] += yg
         else:
             accbuf[...] += lax.dot_general(
@@ -190,6 +207,10 @@ def _mixer_kernel(
                 precision=prec,
             )
 
+    if quirk:
+        h_out = outw.shape[-1]
+        out_ref[0] = (accbuf[:, :h_out] * scale).astype(out_ref.dtype)
+        return
     merged = (accbuf[...] * scale).astype(cd)
     if merged_ref is not None:
         merged_ref[0] = merged
@@ -214,15 +235,19 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
     AT = jnp.transpose(A.astype(jnp.float32))
 
     ident = _identity_streams(spec)
+    quirk = bool(spec.mamba1_vim_quirk)
+    if quirk:
+        assert d >= h, "quirk out-accumulator reuses the (L, d) buffer"
     kernel = functools.partial(
         _mixer_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S, scale=float(spec.scale),
-        ident=ident, want_merged=want_merged,
+        ident=ident, want_merged=want_merged, quirk=quirk,
     )
     row3 = lambda i: (i, 0, 0)  # noqa: E731
+    mrows = S * L if quirk else L
     ospec = pl.BlockSpec((1, L, h), row3, memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, L, d), row3, memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, mrows, d), row3, memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((B_, L, h), x.dtype)
-    mshape = jax.ShapeDtypeStruct((B_, L, d), x.dtype)
+    mshape = jax.ShapeDtypeStruct((B_, mrows, d), x.dtype)
     const = lambda i: tuple(0 for _ in range(2))  # noqa: E731
     out = pl.pallas_call(
         kernel,
@@ -237,7 +262,11 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((n, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, h), const, memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((2, d, h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+                if quirk
+                else pl.BlockSpec((d, h), const, memory_space=pltpu.VMEM)
+            ),
             pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[ospec, mspec] if want_merged else ospec,
@@ -266,13 +295,18 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
         dt_b.astype(jnp.float32)[None, :],
         AT,
         D.astype(jnp.float32)[None, :],
-        out_w,
+        jnp.stack([out_w, out_w[:, ::-1]]) if quirk else out_w,
         P,
     )
     if want_merged:
         out, merged = out
         if L != L0:
-            out, merged = out[:, :L0], merged[:, :L0]
+            out = out[:, :L0]
+            merged = (
+                merged.reshape(B_, S, L, d)[:, :, :L0].reshape(B_, S * L0, d)
+                if quirk
+                else merged[:, :L0]
+            )
         return out, merged
     return out[:, :L0] if L != L0 else out
 
@@ -302,6 +336,11 @@ def _mixer_ref(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w):
         u, delta, A, B_ssm, C_ssm, D, z=z,
         impl="pallas" if jax.default_backend() == "tpu" else "ref",
     )
+    if spec.mamba1_vim_quirk:
+        ys = y.reshape(B_, S, Ls, d).astype(cd)
+        ow = out_w.astype(cd)
+        o = jnp.dot(ys[:, 0], ow) + jnp.dot(ys[:, 1], ow)[..., ::-1]
+        return o * spec.scale
     merge = jnp.asarray(np.ascontiguousarray(spec.merge))
     ys = y.reshape(B_, S * Ls, d)
     merged = jnp.take(ys, merge.reshape(-1), axis=1).reshape(
@@ -315,6 +354,7 @@ def _dual_fwd_impl(spec, x12, *stacked, want_merged=False):
     """Both mixers of a dual-branch block in ONE launch: grid (2*B,), the
     first B items use weight set 0, the rest set 1 (halves launch count for
     the Spiral block, block/mamba_block.py:107-108)."""
+    assert not spec.mamba1_vim_quirk  # dual-branch blocks use spiral specs
     M, B_, L0, h = x12.shape
     d = stacked[6].shape[1]  # A (M, d, n)
     n = stacked[6].shape[2]
@@ -438,20 +478,40 @@ def _manual_bwd(
     B_, L0, _ = x.shape
     S = spec.fwd.shape[0]
     g = g.astype(cd)
-    g_out_w = jnp.tensordot(
-        merged.astype(cd), g, axes=((0, 1), (0, 1))
-    ).astype(out_w.dtype)  # (d, h)
-    g_merged = jnp.einsum("blh,dh->bld", g, out_w.astype(cd))
-    # Merge adjoint: each stream holds every token exactly once (eligible
-    # specs are full-length permutations), so the adjoint of
-    # merged = sum_s P_s^T y_s * scale is the forward fanout gather.
-    fwd_idx = jnp.asarray(np.ascontiguousarray(spec.fwd))
-    g_y = (
-        jnp.take(g_merged, fwd_idx.reshape(-1), axis=1).reshape(
-            B_ * S, L0, -1
-        )
-        * spec.scale
-    ).astype(cd)
+    if spec.mamba1_vim_quirk:
+        # ``merged`` holds the per-stream gated scan outputs (B, S*L0, d);
+        # out = (y0 @ W + flip_h(y1 @ W)) * scale, streams in stream order.
+        d = merged.shape[-1]
+        gs = (g * spec.scale).astype(cd)
+        gf = gs[..., ::-1]
+        ys = merged.reshape(B_, S, L0, d).astype(cd)
+        g_out_w = (
+            jnp.tensordot(ys[:, 0], gs, axes=((0, 1), (0, 1)))
+            + jnp.tensordot(ys[:, 1], gf, axes=((0, 1), (0, 1)))
+        ).astype(out_w.dtype)
+        ow = out_w.astype(cd)
+        g_y = jnp.stack(
+            [
+                jnp.einsum("blh,dh->bld", gs, ow),
+                jnp.einsum("blh,dh->bld", gf, ow),
+            ],
+            axis=1,
+        ).reshape(B_ * S, L0, d)
+    else:
+        g_out_w = jnp.tensordot(
+            merged.astype(cd), g, axes=((0, 1), (0, 1))
+        ).astype(out_w.dtype)  # (d, h)
+        g_merged = jnp.einsum("blh,dh->bld", g, out_w.astype(cd))
+        # Merge adjoint: each stream holds every token exactly once
+        # (eligible specs are full-length permutations), so the adjoint of
+        # merged = sum_s P_s^T y_s * scale is the forward fanout gather.
+        fwd_idx = jnp.asarray(np.ascontiguousarray(spec.fwd))
+        g_y = (
+            jnp.take(g_merged, fwd_idx.reshape(-1), axis=1).reshape(
+                B_ * S, L0, -1
+            )
+            * spec.scale
+        ).astype(cd)
 
     (u, delta, B_ssm, C_ssm, z), vjp1 = jax.vjp(
         functools.partial(_pre_scan, spec),

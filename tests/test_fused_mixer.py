@@ -38,12 +38,13 @@ def test_eligibility():
     assert mixer_fused_eligible(build_scan_spec("spiral", 4, 0))
     assert mixer_fused_eligible(build_scan_spec("zig", 4, 2))
     assert mixer_fused_eligible(build_scan_spec("vmamba", 4, 0))
-    assert not mixer_fused_eligible(build_scan_spec("vim", 4, 0))  # quirk
+    assert mixer_fused_eligible(build_scan_spec("vim", 4, 0))  # quirk in-kernel
     assert not mixer_fused_eligible(build_scan_spec("eff", 4, 0))  # partition
 
 
 @pytest.mark.parametrize(
-    "block_type,layer", [("spiral", 0), ("spiral", 3), ("zig", 1), ("vmamba", 0)]
+    "block_type,layer",
+    [("spiral", 0), ("spiral", 3), ("zig", 1), ("vmamba", 0), ("vim", 0)],
 )
 def test_forward_matches_composable(block_type, layer):
     spec = build_scan_spec(block_type, 4, layer)
@@ -65,8 +66,9 @@ def test_unpadded_length():
 
 
 @pytest.mark.slow
-def test_grads_match_composable():
-    spec = build_scan_spec("spiral", 4, 0)
+@pytest.mark.parametrize("block_type", ["spiral", "vim"])
+def test_grads_match_composable(block_type):
+    spec = build_scan_spec(block_type, 4, 0)
     args = _args()
     argnums = tuple(range(len(args)))
     g1 = jax.grad(
@@ -91,12 +93,14 @@ def test_bf16_close_to_fp32():
     assert np.abs(got - ref).mean() / scale < 0.05
 
 
-def test_model_fused_matches_auto():
+@pytest.mark.parametrize("block_type,layer", [("spiral", 1), ("vim", 0)])
+def test_model_fused_matches_auto(block_type, layer):
     """Mamba module with scan_impl='fused' routes through the block kernel
-    and must match scan_impl='auto'."""
+    and must match scan_impl='auto' (vim exercises the in-kernel feature-
+    flip quirk against the module's composable quirk branch)."""
     from diffma_tpu.models.mamba import Mamba
 
-    spec = build_scan_spec("spiral", 4, 1)
+    spec = build_scan_spec(block_type, 4, layer)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
     m_auto = Mamba(d_model=32, d_state=8, scan_impl="auto")
     m_fused = Mamba(d_model=32, d_state=8, scan_impl="fused")

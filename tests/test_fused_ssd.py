@@ -132,10 +132,14 @@ def test_grads_match_composable():
         )
 
 
-def test_mamba2_module_fused_matches_auto():
+@pytest.mark.parametrize("block_type", ["spiral", "vim"])
+def test_mamba2_module_fused_matches_auto(block_type):
+    # vim: Mamba2 does NOT honour the Mamba1 feature-flip quirk
+    # (block/mamba2.py:502,522 flips correctly), so the standard fused
+    # merge must match the composable merge-table path.
     from diffma_tpu.models.mamba2 import Mamba2
 
-    spec = build_scan_spec("spiral", 4, 0)
+    spec = build_scan_spec(block_type, 4, 0)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
     m_auto = Mamba2(d_model=32, d_state=8, scan_impl="auto")
     m_fused = Mamba2(d_model=32, d_state=8, scan_impl="fused")
