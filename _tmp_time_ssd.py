@@ -8,7 +8,7 @@ cond = synthetic_batch(jax.random.PRNGKey(0), BATCH, latent, tokens)
 diffusion = create_diffusion(str(STEPS))
 
 for impl in ("auto", "fused"):
-    model = build_model("ViM-B/2", input_size=latent, d_state=16,
+    model = build_model("EMamba-B/2", input_size=latent, d_state=16,
                         dtype=jnp.bfloat16, use_mamba2=False, scan_impl=impl)
     params = model.init(jax.random.PRNGKey(1), cond["z"],
                         jnp.zeros((BATCH,), jnp.int32), cond["y"], cond["y2"], cond["w"])["params"]

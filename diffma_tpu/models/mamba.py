@@ -204,7 +204,7 @@ class Mamba(nn.Module):
             self.scan_impl == "fused"
             and not tp
             and self._axis_size(self.sp_axis) == 1
-            and mixer_fused_eligible(spec)
+            and mixer_fused_eligible(spec, partition=True)
         ):
             # Whole mixer (in_proj -> streams -> scan -> merge -> out_proj)
             # in one Pallas kernel; permutations ride the MXU as one-hot

@@ -55,24 +55,37 @@ from diffma_tpu.ops.selective_scan import (
 __all__ = ["mamba_mixer_fused", "mamba_dual_mixer_fused", "mixer_fused_eligible"]
 
 
-def mixer_fused_eligible(spec: ScanSpec) -> bool:
-    """Full-length permutation streams (spiral / zigma / vim / vmamba).
-    Only EfficientVMamba's quarter-length atrous partition is out.  The
-    Mamba1 'vim' feature-flip quirk is handled inside the kernels."""
-    return spec.fwd.shape[1] == spec.seq_len
+def _exact_partition(spec: ScanSpec) -> bool:
+    """Streams jointly cover every token exactly once (atrous partition)."""
+    return sorted(spec.fwd.reshape(-1).tolist()) == list(range(spec.seq_len))
+
+
+def mixer_fused_eligible(spec: ScanSpec, partition: bool = False) -> bool:
+    """Full-length permutation streams (spiral / zigma / vim / vmamba)
+    always qualify; with ``partition`` (Mamba1 kernel) exact disjoint
+    partitions (EfficientVMamba's quarter-length atrous streams) do too.
+    The Mamba1 'vim' feature-flip quirk is handled inside the kernels."""
+    if spec.fwd.shape[1] == spec.seq_len:
+        return True
+    return partition and _exact_partition(spec)
 
 
 @functools.lru_cache(maxsize=None)
 def _identity_streams(spec: ScanSpec) -> tuple:
     Ls = spec.fwd.shape[1]
+    if Ls != spec.seq_len:
+        return (False,) * spec.fwd.shape[0]
     return tuple(bool((spec.fwd[s] == np.arange(Ls)).all()) for s in range(spec.fwd.shape[0]))
 
 
 @functools.lru_cache(maxsize=None)
-def _perm_matrices(spec: ScanSpec, Lp: int):
-    """(S, Lp, Lp) one-hot stream-permutation matrices, zero on pad rows."""
+def _perm_matrices(spec: ScanSpec, Lp: int, Lr: int = 0):
+    """(S, Lr, Lp) one-hot stream-permutation matrices, zero on pad rows.
+    ``Lr`` is the padded per-stream row count (== Lp for full-length
+    streams, the padded stream length for partition streams)."""
     S, Ls = spec.fwd.shape
-    P = np.zeros((S, Lp, Lp), np.float32)
+    Lr = Lr or Lp
+    P = np.zeros((S, Lr, Lp), np.float32)
     for s in range(S):
         P[s, np.arange(Ls), spec.fwd[s]] = 1.0
     return P
@@ -82,7 +95,7 @@ def _mixer_kernel(
     x_ref, inw_ref, convw_ref, convb_ref, xpw_ref, dtw_ref, dtb_ref,
     AT_ref, D_ref, outw_ref, P_ref,
     out_ref, *rest,
-    L, Q, d, r, n, S, scale, ident, want_merged=False, quirk=False,
+    L, Q, d, r, n, S, scale, ident, Lr=None, want_merged=False, quirk=False,
 ):
     """One batch element: the whole mixer with S unrolled streams.
 
@@ -99,7 +112,8 @@ def _mixer_kernel(
     def _w(ref):
         return ref[0] if ref.ndim == 3 else ref[...]
 
-    nq = L // Q
+    Lr = L if Lr is None else Lr  # per-stream row count (partition: Ls pad)
+    nq = Lr // Q
     cd = x_ref.dtype
     prec = (
         lax.Precision.HIGHEST if cd == jnp.float32 else lax.Precision.DEFAULT
@@ -134,10 +148,10 @@ def _mixer_kernel(
         for k in range(K - 1):
             sh = K - 1 - k
             shifted = jnp.concatenate(
-                [jnp.zeros((sh, d), jnp.float32), u0[: L - sh]], axis=0
+                [jnp.zeros((sh, d), jnp.float32), u0[: Lr - sh]], axis=0
             )
             acc = acc + shifted * convw[k][None, :]
-        u = _silu(acc + convb[0][None, :])  # (L, d) fp32
+        u = _silu(acc + convb[0][None, :])  # (Lr, d) fp32
         ubuf[...] = u
 
         xdb = jnp.dot(
@@ -226,12 +240,13 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
     d = A.shape[0]
     n = A.shape[1]
     r = dt_w.shape[0]
-    S = spec.fwd.shape[0]
-    Q = ((L0 + 7) // 8) * 8  # single chunk, sublane-aligned
-    L = ((L0 + Q - 1) // Q) * Q
+    S, Ls = spec.fwd.shape
+    L = ((L0 + 7) // 8) * 8  # sublane-aligned whole sequence
+    Lr = ((Ls + 7) // 8) * 8  # per-stream rows (== L unless partition spec)
+    Q = Lr  # single chunk
     if L != L0:
         x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
-    P = jnp.asarray(_perm_matrices(spec, L))
+    P = jnp.asarray(_perm_matrices(spec, L, Lr))
     AT = jnp.transpose(A.astype(jnp.float32))
 
     ident = _identity_streams(spec)
@@ -240,7 +255,7 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
         assert d >= h, "quirk out-accumulator reuses the (L, d) buffer"
     kernel = functools.partial(
         _mixer_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S, scale=float(spec.scale),
-        ident=ident, want_merged=want_merged, quirk=quirk,
+        ident=ident, Lr=Lr, want_merged=want_merged, quirk=quirk,
     )
     row3 = lambda i: (i, 0, 0)  # noqa: E731
     mrows = S * L if quirk else L
@@ -267,20 +282,20 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
                 if quirk
                 else pl.BlockSpec((d, h), const, memory_space=pltpu.VMEM)
             ),
-            pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[ospec, mspec] if want_merged else ospec,
         out_shape=[oshape, mshape] if want_merged else oshape,
         scratch_shapes=[
             pltpu.VMEM((L, 2 * d), x.dtype),  # xzbuf
-            pltpu.VMEM((L, d), jnp.float32),  # ubuf
-            pltpu.VMEM((L, d), jnp.float32),  # dts
-            pltpu.VMEM((L, n), jnp.float32),  # Bbuf
-            pltpu.VMEM((L, n), jnp.float32),  # Cbuf
+            pltpu.VMEM((Lr, d), jnp.float32),  # ubuf
+            pltpu.VMEM((Lr, d), jnp.float32),  # dts
+            pltpu.VMEM((Lr, n), jnp.float32),  # Bbuf
+            pltpu.VMEM((Lr, n), jnp.float32),  # Cbuf
             pltpu.VMEM((Q, n, d), jnp.float32),  # abuf
             pltpu.VMEM((Q, n, d), jnp.float32),  # bbuf
             pltpu.VMEM((Q, n, d), jnp.float32),  # hbuf
-            pltpu.VMEM((L, d), jnp.float32),  # ybuf
+            pltpu.VMEM((Lr, d), jnp.float32),  # ybuf
             pltpu.VMEM((L, d), jnp.float32),  # accbuf
         ],
         compiler_params=_COMPILER_PARAMS,
@@ -506,9 +521,10 @@ def _manual_bwd(
         # (eligible specs are full-length permutations), so the adjoint of
         # merged = sum_s P_s^T y_s * scale is the forward fanout gather.
         fwd_idx = jnp.asarray(np.ascontiguousarray(spec.fwd))
+        Ls = spec.fwd.shape[1]
         g_y = (
             jnp.take(g_merged, fwd_idx.reshape(-1), axis=1).reshape(
-                B_ * S, L0, -1
+                B_ * S, Ls, -1
             )
             * spec.scale
         ).astype(cd)

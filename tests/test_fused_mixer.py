@@ -39,12 +39,17 @@ def test_eligibility():
     assert mixer_fused_eligible(build_scan_spec("zig", 4, 2))
     assert mixer_fused_eligible(build_scan_spec("vmamba", 4, 0))
     assert mixer_fused_eligible(build_scan_spec("vim", 4, 0))  # quirk in-kernel
-    assert not mixer_fused_eligible(build_scan_spec("eff", 4, 0))  # partition
+    # atrous partition: Mamba1 kernel handles it (rect P); Mamba2 does not
+    assert not mixer_fused_eligible(build_scan_spec("eff", 4, 0))
+    assert mixer_fused_eligible(build_scan_spec("eff", 4, 0), partition=True)
 
 
 @pytest.mark.parametrize(
     "block_type,layer",
-    [("spiral", 0), ("spiral", 3), ("zig", 1), ("vmamba", 0), ("vim", 0)],
+    [
+        ("spiral", 0), ("spiral", 3), ("zig", 1), ("vmamba", 0), ("vim", 0),
+        ("eff", 0), ("eff", 1),
+    ],
 )
 def test_forward_matches_composable(block_type, layer):
     spec = build_scan_spec(block_type, 4, layer)
@@ -66,7 +71,7 @@ def test_unpadded_length():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("block_type", ["spiral", "vim"])
+@pytest.mark.parametrize("block_type", ["spiral", "vim", "eff"])
 def test_grads_match_composable(block_type):
     spec = build_scan_spec(block_type, 4, 0)
     args = _args()
@@ -93,7 +98,9 @@ def test_bf16_close_to_fp32():
     assert np.abs(got - ref).mean() / scale < 0.05
 
 
-@pytest.mark.parametrize("block_type,layer", [("spiral", 1), ("vim", 0)])
+@pytest.mark.parametrize(
+    "block_type,layer", [("spiral", 1), ("vim", 0), ("eff", 0)]
+)
 def test_model_fused_matches_auto(block_type, layer):
     """Mamba module with scan_impl='fused' routes through the block kernel
     and must match scan_impl='auto' (vim exercises the in-kernel feature-
