@@ -450,14 +450,6 @@ def _dual_fwd_impl(spec, x12, *stacked, want_merged=False):
     return out.reshape(M, B_, L0, h)
 
 
-def _dual_ref(spec, x12, *stacked):
-    o = [
-        _mixer_ref(spec, x12[m], *(w[m] for w in stacked))
-        for m in range(x12.shape[0])
-    ]
-    return jnp.stack(o)
-
-
 def _pre_scan(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b):
     """Pre-scan segment of the composable path (matmuls + conv only; no
     sequential recurrence), used by the decomposed backward."""

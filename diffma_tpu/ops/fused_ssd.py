@@ -25,9 +25,12 @@ permute -> up to 4 sequential ``mamba_split_conv1d_scan_combined`` Triton
 launches -> merge -> out_proj) one level higher than the CUDA kernels:
 upstream cannot fuse across streams or across the permutes.
 
-Eligibility matches the Mamba-1 fused kernel (``mixer_fused_eligible``):
-full-length permutation streams (spiral / zigma / vmamba).  Differentiation
-recomputes through the composable path (``jax.custom_vjp``).
+Eligibility: full-length permutation streams (spiral / zigma / vim /
+vmamba; Mamba2 never honours the Mamba1 vim feature-flip quirk, so vim
+takes the standard merge).  The atrous partition falls back to the
+composable path.  Differentiation runs through a hand-derived backward
+kernel (``_ssd_bwd_kernel``): one Pallas call recomputes the forward and
+emits input + all weight gradients as closed-form matmul adjoints.
 """
 
 from __future__ import annotations
@@ -726,10 +729,6 @@ def _ssd_mixer_ref(spec, x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w,
     return jnp.dot(merged.astype(cd), out_w.astype(cd))
 
 
-def _kw(dt_limit, eps, chunk_size):
-    return dict(dt_limit=tuple(dt_limit), eps=eps, chunk_size=chunk_size)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 10, 11, 12))
 def mamba2_mixer_fused(
     spec: ScanSpec, x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w,
@@ -762,17 +761,6 @@ def _vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
 
 
 mamba2_mixer_fused.defvjp(_vjp_fwd, _vjp_bwd)
-
-
-def _dual_ref(spec, x12, *stacked, dt_limit, eps, chunk_size):
-    o = [
-        _ssd_mixer_ref(
-            spec, x12[m], *(w[m] for w in stacked),
-            **_kw(dt_limit, eps, chunk_size),
-        )
-        for m in range(x12.shape[0])
-    ]
-    return jnp.stack(o)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 10, 11, 12))
