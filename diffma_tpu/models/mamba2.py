@@ -169,7 +169,7 @@ class Mamba2(nn.Module):
             self.scan_impl == "fused"
             and self._axis_size(self.tp_axis) == 1
             and self._axis_size(self.sp_axis) == 1
-            and mixer_fused_eligible(spec)
+            and mixer_fused_eligible(spec, partition=True)
         ):
             # Whole SSD mixer (in_proj -> streams -> chunkless SSD -> gated
             # norm -> merge -> out_proj) in one Pallas kernel; the per-head

@@ -63,7 +63,7 @@ def _ssd_kernel(
     normw_ref, outw_ref, P_ref,
     out_ref,
     zxbuf, xbcbuf, csbuf, ybuf, accbuf,
-    *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi,
+    *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, Lr=None,
 ):
     """One batch element: the whole SSD mixer with S unrolled streams.
 
@@ -82,6 +82,7 @@ def _ssd_kernel(
     normw, outw = _w(normw_ref), _w(outw_ref)
     conv_dim = d + 2 * n
     K = convw.shape[0]
+    Lr = L if Lr is None else Lr  # per-stream rows (partition: padded Ls)
 
     x = x_ref[0]  # (L, h)
     zxbuf[...] = jnp.dot(
@@ -91,8 +92,8 @@ def _ssd_kernel(
 
     # Static masks: causal tril (also the exact-cumsum operator) and the
     # one-hot head-expansion matrix E[h, h*hd:(h+1)*hd] = 1.
-    row = lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    col = lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    row = lax.broadcasted_iota(jnp.int32, (Lr, Lr), 0)
+    col = lax.broadcasted_iota(jnp.int32, (Lr, Lr), 1)
     tril = row >= col
     trilf = tril.astype(jnp.float32)
     erow = lax.broadcasted_iota(jnp.int32, (H, d), 0)
@@ -125,11 +126,11 @@ def _ssd_kernel(
         for k in range(K - 1):
             sh = K - 1 - k
             shifted = jnp.concatenate(
-                [jnp.zeros((sh, conv_dim), jnp.float32), xbc_in[: L - sh]],
+                [jnp.zeros((sh, conv_dim), jnp.float32), xbc_in[: Lr - sh]],
                 axis=0,
             )
             acc = acc + shifted * convw[k][None, :]
-        xbcbuf[...] = _silu(acc + convb[0][None, :])  # (L, conv_dim) fp32
+        xbcbuf[...] = _silu(acc + convb[0][None, :])  # (Lr, conv_dim) fp32
         xssm = xbcbuf[:, :d]
         Bm = xbcbuf[:, d : d + n]
         Cm = xbcbuf[:, d + n :]
@@ -219,11 +220,12 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps):
     H = A_log.shape[-1]
     hd = d // H
     n = (conv_w.shape[-2] - d) // 2
-    S = spec.fwd.shape[0]
-    L = ((L0 + 7) // 8) * 8  # sublane-aligned single chunk
+    S, Ls = spec.fwd.shape
+    L = ((L0 + 7) // 8) * 8  # sublane-aligned whole sequence
+    Lr = ((Ls + 7) // 8) * 8  # per-stream rows (== L unless partition spec)
     if L != L0:
         x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
-    P = jnp.asarray(_perm_matrices(spec, L))
+    P = jnp.asarray(_perm_matrices(spec, L, Lr))
     conv_dim = d + 2 * n
     dproj = in_w.shape[-1]
     K = conv_w.shape[-1]
@@ -231,7 +233,7 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps):
     kernel = functools.partial(
         _ssd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
         scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
-        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]),
+        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), Lr=Lr,
     )
     # weight operands, reshaped to 2-D (or 3-D with the leading M axis)
     A = -jnp.exp(A_log.astype(jnp.float32))
@@ -258,7 +260,7 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps):
         in_specs=[
             pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *wspecs,
-            pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -266,9 +268,9 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps):
         out_shape=jax.ShapeDtypeStruct((G, L, h), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((L, dproj), x.dtype),  # zxbuf
-            pltpu.VMEM((L, conv_dim), jnp.float32),  # xbcbuf
-            pltpu.VMEM((L, H), jnp.float32),  # csbuf
-            pltpu.VMEM((L, d), jnp.float32),  # ybuf
+            pltpu.VMEM((Lr, conv_dim), jnp.float32),  # xbcbuf
+            pltpu.VMEM((Lr, H), jnp.float32),  # csbuf
+            pltpu.VMEM((Lr, d), jnp.float32),  # ybuf
             pltpu.VMEM((L, d), jnp.float32),  # accbuf
         ],
         compiler_params=_COMPILER_PARAMS,
@@ -286,7 +288,7 @@ def _ssd_bwd_kernel(
     gx_ref, gin_ref, gconvw_ref, gconvb_ref, gdtb_ref, gA_ref, gD_ref,
     gnormw_ref, goutw_ref,
     zxbuf, xs_s, a_s, dt_s, cs_s, y_s, accbuf, gzx,
-    *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, winit,
+    *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, winit, Lr=None,
 ):
     """Hand-derived backward for the fused SSD mixer: ONE Pallas call
     recomputes the forward (cheap: the fwd is a minority of train time) and
@@ -322,8 +324,9 @@ def _ssd_bwd_kernel(
                   gnormw_ref, goutw_ref):
             r[...] = jnp.zeros_like(r)
 
-    row = lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    col = lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    Lr = L if Lr is None else Lr  # per-stream rows (partition: padded Ls)
+    row = lax.broadcasted_iota(jnp.int32, (Lr, Lr), 0)
+    col = lax.broadcasted_iota(jnp.int32, (Lr, Lr), 1)
     tril = row >= col
     trilf = tril.astype(f32)
     erow = lax.broadcasted_iota(jnp.int32, (H, d), 0)
@@ -357,7 +360,7 @@ def _ssd_bwd_kernel(
         for k in range(K - 1):
             sh = K - 1 - k
             shifted = jnp.concatenate(
-                [jnp.zeros((sh, conv_dim), f32), xbc_in[: L - sh]], axis=0
+                [jnp.zeros((sh, conv_dim), f32), xbc_in[: Lr - sh]], axis=0
             )
             acc = acc + shifted * convw[k][None, :]
         a = acc + convb[0][None, :]
@@ -481,7 +484,7 @@ def _ssd_bwd_kernel(
         g_xssm = D_exp * g_y
         g_y_c = g_y.astype(cd)
         xdt_cd = xdt.astype(cd)
-        g_cb = jnp.zeros((L, L), f32)
+        g_cb = jnp.zeros((Lr, Lr), f32)
         gxdt_parts, gcsr, gcsc = [], [], []
         for h in range(H):
             diff = cs[:, h : h + 1] - csT[h : h + 1, :] + neg
@@ -547,7 +550,7 @@ def _ssd_bwd_kernel(
         for k in range(K - 1):
             sh = K - 1 - k
             shifted = jnp.concatenate(
-                [jnp.zeros((sh, conv_dim), f32), xbc_in[: L - sh]], axis=0
+                [jnp.zeros((sh, conv_dim), f32), xbc_in[: Lr - sh]], axis=0
             )
             rows[k] = jnp.sum(shifted * g_a, axis=0, keepdims=True)
             g_xc_in += jnp.concatenate(
@@ -605,12 +608,13 @@ def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
     H = A_log.shape[-1]
     hd = d // H
     n = (conv_w.shape[-2] - d) // 2
-    S = spec.fwd.shape[0]
+    S, Ls = spec.fwd.shape
     L = ((L0 + 7) // 8) * 8
+    Lr = ((Ls + 7) // 8) * 8
     if L != L0:
         x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, L - L0), (0, 0)))
-    P = jnp.asarray(_perm_matrices(spec, L))
+    P = jnp.asarray(_perm_matrices(spec, L, Lr))
     conv_dim = d + 2 * n
     dproj = in_w.shape[-1]
     K = conv_w.shape[-1]
@@ -619,6 +623,7 @@ def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
         _ssd_bwd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
         scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
         dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), winit=winit,
+        Lr=Lr,
     )
     A = -jnp.exp(A_log.astype(jnp.float32))
     ops = (
@@ -647,7 +652,7 @@ def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
             pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *wspecs,
-            pl.BlockSpec((S, L, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -664,11 +669,11 @@ def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
         ],
         scratch_shapes=[
             pltpu.VMEM((L, dproj), x.dtype),  # zxbuf
-            pltpu.VMEM((S, L, dproj), x.dtype),  # xs_s
-            pltpu.VMEM((S, L, conv_dim), jnp.float32),  # a_s
-            pltpu.VMEM((S, L, H), jnp.float32),  # dt_s
-            pltpu.VMEM((S, L, H), jnp.float32),  # cs_s
-            pltpu.VMEM((S, L, d), jnp.float32),  # y_s
+            pltpu.VMEM((S, Lr, dproj), x.dtype),  # xs_s
+            pltpu.VMEM((S, Lr, conv_dim), jnp.float32),  # a_s
+            pltpu.VMEM((S, Lr, H), jnp.float32),  # dt_s
+            pltpu.VMEM((S, Lr, H), jnp.float32),  # cs_s
+            pltpu.VMEM((S, Lr, d), jnp.float32),  # y_s
             pltpu.VMEM((L, d), jnp.float32),  # accbuf
             pltpu.VMEM((L, dproj), jnp.float32),  # gzx
         ],

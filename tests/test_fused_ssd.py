@@ -43,7 +43,8 @@ def _tol():
 
 
 @pytest.mark.parametrize(
-    "block_type,layer", [("spiral", 0), ("spiral", 3), ("zig", 1), ("vmamba", 0)]
+    "block_type,layer",
+    [("spiral", 0), ("spiral", 3), ("zig", 1), ("vmamba", 0), ("eff", 0)],
 )
 def test_forward_matches_composable(block_type, layer):
     spec = build_scan_spec(block_type, 4, layer)
@@ -108,8 +109,9 @@ def test_bf16_forward():
 
 
 @pytest.mark.slow
-def test_grads_match_composable():
-    spec = build_scan_spec("spiral", 4, 0)
+@pytest.mark.parametrize("block_type", ["spiral", "eff"])
+def test_grads_match_composable(block_type):
+    spec = build_scan_spec(block_type, 4, 0)
     args = _args(B=1)
 
     def f_fused(*a):
@@ -132,11 +134,12 @@ def test_grads_match_composable():
         )
 
 
-@pytest.mark.parametrize("block_type", ["spiral", "vim"])
+@pytest.mark.parametrize("block_type", ["spiral", "vim", "eff"])
 def test_mamba2_module_fused_matches_auto(block_type):
     # vim: Mamba2 does NOT honour the Mamba1 feature-flip quirk
     # (block/mamba2.py:502,522 flips correctly), so the standard fused
-    # merge must match the composable merge-table path.
+    # merge must match the composable merge-table path.  eff exercises the
+    # rectangular (Lr x L) partition kernels.
     from diffma_tpu.models.mamba2 import Mamba2
 
     spec = build_scan_spec(block_type, 4, 0)
