@@ -206,3 +206,32 @@ def test_dual_branch_block_fused_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+def test_fused_composes_with_remat():
+    """Per-block remat (jax.checkpoint) over the fused custom_vjp kernels
+    must reproduce the non-remat gradients (the DiffMa-XXL/2 train path)."""
+    from diffma_tpu.models.blocks import SpiralMambaBlock
+
+    spec = build_scan_spec("spiral", 4, 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    w = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(2), (2, 16, 1)))
+    blk = SpiralMambaBlock(hidden=32, d_state=8, use_mamba2=True,
+                           scan_impl="fused")
+    params = blk.init(jax.random.PRNGKey(3), x, c, w, spec)
+
+    def loss(p, apply):
+        return jnp.sum(jnp.tanh(apply(p, x, c, w, spec)))
+
+    g_plain = jax.grad(lambda p: loss(p, blk.apply))(params)
+    remat_apply = jax.checkpoint(
+        lambda p, *a: blk.apply(p, *a), static_argnums=(4,)
+    )
+    g_remat = jax.grad(
+        lambda p: jnp.sum(jnp.tanh(remat_apply(p, x, c, w, spec)))
+    )(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
