@@ -4,7 +4,7 @@ The kernel runs in_proj -> one-hot-matmul stream permutation -> conv ->
 chunkless per-head SSD (decay tiles in VMEM) -> gated RMSNorm ->
 inverse-permute merge -> out_proj in one Pallas call (interpret mode
 off-TPU); it must match the composable Mamba2 path in values and (through
-the recompute VJP) gradients.
+the hand-derived Pallas backward kernel) gradients.
 """
 
 import jax
