@@ -107,7 +107,7 @@ def _mixer_kernel(
         merged_ref, *rest = rest
     else:
         merged_ref = None
-    (xzbuf, ubuf, dts, Bbuf, Cbuf, abuf, bbuf, hbuf, ybuf, accbuf) = rest
+    (xzbuf, ubuf, dts, Bbuf, Cbuf, abuf, bbuf, ybuf, accbuf) = rest
 
     def _w(ref):
         return ref[0] if ref.ndim == 3 else ref[...]
@@ -169,25 +169,32 @@ def _mixer_kernel(
         Bbuf[...] = xdb[:, r : r + n]
         Cbuf[...] = xdb[:, r + n :]
 
-        def chunk_body(c, h):
-            off = pl.multiple_of(c * Q, Q)
-            dtq = dts[pl.ds(off, Q), :]
-            uq = ubuf[pl.ds(off, Q), :]
-            Bq = Bbuf[pl.ds(off, Q), :]
-            abuf[...] = jnp.exp(dtq[:, None, :] * AT[None])
-            bbuf[...] = Bq[:, :, None] * (dtq * uq)[:, None, :]
+        abuf[...] = jnp.exp(dts[...][:, None, :] * AT[None])
+        bbuf[...] = (
+            Bbuf[...][:, :, None] * (dts[...] * ubuf[...])[:, None, :]
+        )
 
-            def step(t, h):
-                h = abuf[t] * h + bbuf[t]
-                hbuf[t] = h
-                return h
+        # The recurrence runs in 8-step register blocks: h values never
+        # round-trip scratch (a per-step (n, d) store was measured to cost
+        # as much as the rest of the kernel combined); the C contraction
+        # vectorises over each block's stacked register states.
+        T = 8
+        assert Lr % T == 0
 
-            h = lax.fori_loop(0, Q, step, h)
-            Cq = Cbuf[pl.ds(off, Q), :]
-            ybuf[pl.ds(off, Q), :] = jnp.sum(hbuf[...] * Cq[:, :, None], axis=1)
+        def block_body(c, h):
+            off = pl.multiple_of(c * T, T)
+            a8 = abuf[pl.ds(off, T)]  # (T, n, d)
+            b8 = bbuf[pl.ds(off, T)]
+            hs = []
+            for j in range(T):
+                h = a8[j] * h + b8[j]
+                hs.append(h)
+            h8 = jnp.stack(hs)  # (T, n, d) register values
+            C8 = Cbuf[pl.ds(off, T), :]  # (T, n)
+            ybuf[pl.ds(off, T), :] = jnp.sum(h8 * C8[:, :, None], axis=1)
             return h
 
-        lax.fori_loop(0, nq, chunk_body, jnp.zeros((n, d), jnp.float32))
+        lax.fori_loop(0, Lr // T, block_body, jnp.zeros((n, d), jnp.float32))
 
         y = ybuf[...] + ubuf[...] * Dw[0][None, :]
         z = xs[:, d:].astype(jnp.float32)
@@ -294,7 +301,6 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
             pltpu.VMEM((Lr, n), jnp.float32),  # Cbuf
             pltpu.VMEM((Q, n, d), jnp.float32),  # abuf
             pltpu.VMEM((Q, n, d), jnp.float32),  # bbuf
-            pltpu.VMEM((Q, n, d), jnp.float32),  # hbuf
             pltpu.VMEM((Lr, d), jnp.float32),  # ybuf
             pltpu.VMEM((L, d), jnp.float32),  # accbuf
         ],
@@ -420,7 +426,6 @@ def _dual_fwd_impl(spec, x12, *stacked, want_merged=False):
             pltpu.VMEM((L, d), jnp.float32),
             pltpu.VMEM((L, n), jnp.float32),
             pltpu.VMEM((L, n), jnp.float32),
-            pltpu.VMEM((Q, n, d), jnp.float32),
             pltpu.VMEM((Q, n, d), jnp.float32),
             pltpu.VMEM((Q, n, d), jnp.float32),
             pltpu.VMEM((L, d), jnp.float32),
