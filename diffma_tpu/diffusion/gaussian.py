@@ -416,6 +416,33 @@ class GaussianDiffusion:
             "pred_xstart": pred_xstart,
         }
 
+    # -- guidance ------------------------------------------------------------
+
+    def condition_mean(self, cond_fn, p_mean_var, x, t, model_kwargs=None):
+        """Shift the posterior mean by ``variance * grad(log p(y|x))``
+        (Sohl-Dickstein conditioning, gaussian_diffusion.py:346-356).  As in
+        the reference's respaced process, ``cond_fn`` receives the *remapped*
+        timesteps (respace.py:99-100)."""
+        gradient = cond_fn(x, self._map_t(t), **(model_kwargs or {}))
+        return p_mean_var["mean"] + p_mean_var["variance"] * gradient
+
+    def condition_score(self, cond_fn, p_mean_var, x, t, model_kwargs=None):
+        """Condition the score function instead of the mean (Song et al 2020;
+        gaussian_diffusion.py:358-374): shift eps by
+        ``-sqrt(1-alpha_bar) * grad``, then rederive pred_xstart and the
+        posterior mean.  ``cond_fn`` gets remapped timesteps
+        (respace.py:102-103)."""
+        nd = x.ndim
+        alpha_bar = _extract(self.alphas_cumprod, t, nd)
+        eps = self._predict_eps_from_xstart(x, t, p_mean_var["pred_xstart"])
+        eps = eps - jnp.sqrt(1 - alpha_bar) * cond_fn(
+            x, self._map_t(t), **(model_kwargs or {})
+        )
+        out = dict(p_mean_var)
+        out["pred_xstart"] = self._predict_xstart_from_eps(x, t, eps)
+        out["mean"], _, _ = self.q_posterior_mean_variance(out["pred_xstart"], x, t)
+        return out
+
     # -- sampling ------------------------------------------------------------
 
     def p_sample(
@@ -430,7 +457,7 @@ class GaussianDiffusion:
         nonzero = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
         mean = out["mean"]
         if cond_fn is not None:
-            mean = mean + out["variance"] * cond_fn(x, self._map_t(t), **(model_kwargs or {}))
+            mean = self.condition_mean(cond_fn, out, x, t, model_kwargs=model_kwargs)
         sample = mean + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
         return {"sample": sample, "pred_xstart": out["pred_xstart"]}
 
@@ -465,6 +492,10 @@ class GaussianDiffusion:
             model, x, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
+        if cond_fn is not None:
+            # gaussian_diffusion.py:536-537 — DDIM conditions the score, not
+            # the mean.
+            out = self.condition_score(cond_fn, out, x, t, model_kwargs=model_kwargs)
         nd = x.ndim
         eps = self._predict_eps_from_xstart(x, t, out["pred_xstart"])
         alpha_bar = _extract(self.alphas_cumprod, t, nd)
@@ -484,13 +515,17 @@ class GaussianDiffusion:
         return {"sample": sample, "pred_xstart": out["pred_xstart"]}
 
     def ddim_reverse_sample(
-        self, model, x, t, clip_denoised=True, denoised_fn=None, model_kwargs=None,
+        self, model, x, t, clip_denoised=True, denoised_fn=None, cond_fn=None,
+        model_kwargs=None,
     ):
         """Deterministic forward ODE step (gaussian_diffusion.py:562-598)."""
         out = self.p_mean_variance(
             model, x, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
+        if cond_fn is not None:
+            # gaussian_diffusion.py:585-586
+            out = self.condition_score(cond_fn, out, x, t, model_kwargs=model_kwargs)
         nd = x.ndim
         eps = (
             _extract(self.sqrt_recip_alphas_cumprod, t, nd) * x - out["pred_xstart"]
@@ -521,6 +556,54 @@ class GaussianDiffusion:
 
         img, _ = jax.lax.scan(step, img, jnp.arange(T))
         return img
+
+    def p_sample_loop_progressive(
+        self, model, shape, rng, noise=None, clip_denoised=True,
+        denoised_fn=None, cond_fn=None, model_kwargs=None,
+    ) -> Dict[str, jax.Array]:
+        """Ancestral sampler that also returns every intermediate.  The
+        reference yields per-step dicts from a Python generator
+        (gaussian_diffusion.py:464-511); the jittable equivalent is one
+        ``lax.scan`` whose stacked outputs carry the same per-step values:
+        ``sample[i]`` / ``pred_xstart[i]`` correspond to the i-th yielded dict
+        (i.e. timestep ``T-1-i``)."""
+        rng, init_rng = jax.random.split(rng)
+        img = noise if noise is not None else jax.random.normal(init_rng, shape)
+        T = self.num_timesteps
+
+        def step(carry, i):
+            t = jnp.full((shape[0],), T - 1 - i, jnp.int32)
+            out = self.p_sample(
+                model, carry, t, jax.random.fold_in(rng, i),
+                clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                cond_fn=cond_fn, model_kwargs=model_kwargs,
+            )
+            return out["sample"], (out["sample"], out["pred_xstart"])
+
+        final, (samples, pred_xstarts) = jax.lax.scan(step, img, jnp.arange(T))
+        return {"sample": samples, "pred_xstart": pred_xstarts, "final": final}
+
+    def ddim_sample_loop_progressive(
+        self, model, shape, rng, noise=None, clip_denoised=True,
+        denoised_fn=None, cond_fn=None, model_kwargs=None, eta=0.0,
+    ) -> Dict[str, jax.Array]:
+        """DDIM counterpart of :meth:`p_sample_loop_progressive`
+        (gaussian_diffusion.py:633-680)."""
+        rng, init_rng = jax.random.split(rng)
+        img = noise if noise is not None else jax.random.normal(init_rng, shape)
+        T = self.num_timesteps
+
+        def step(carry, i):
+            t = jnp.full((shape[0],), T - 1 - i, jnp.int32)
+            out = self.ddim_sample(
+                model, carry, t, jax.random.fold_in(rng, i),
+                clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                cond_fn=cond_fn, model_kwargs=model_kwargs, eta=eta,
+            )
+            return out["sample"], (out["sample"], out["pred_xstart"])
+
+        final, (samples, pred_xstarts) = jax.lax.scan(step, img, jnp.arange(T))
+        return {"sample": samples, "pred_xstart": pred_xstarts, "final": final}
 
     # -- losses ---------------------------------------------------------------
 

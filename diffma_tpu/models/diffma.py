@@ -1,6 +1,6 @@
 """DiffMa: conditional latent-diffusion denoiser with Mamba backbones.
 
-Re-implements the reference model (model.py:112-316) and its 66-entry
+Re-implements the reference model (model.py:112-316) and its 80-entry
 registry (model.py:634-673) as a Flax module.
 
 Structure (model.py:264-301): patchify -> +2D sincos pos-embed -> depth x

@@ -27,8 +27,9 @@ upstream cannot fuse across streams or across the permutes.
 
 Eligibility: full-length permutation streams (spiral / zigma / vim /
 vmamba; Mamba2 never honours the Mamba1 vim feature-flip quirk, so vim
-takes the standard merge).  The atrous partition falls back to the
-composable path.  Differentiation runs through a hand-derived backward
+takes the standard merge) AND the atrous partition (eff_vmamba), which
+runs each L/S sub-sequence as its own scan via a partition spec.
+Differentiation runs through a hand-derived backward
 kernel (``_ssd_bwd_kernel``): one Pallas call recomputes the forward and
 emits input + all weight gradients as closed-form matmul adjoints.
 """

@@ -82,6 +82,125 @@ def test_ddim_chain_matches_reference():
     )
 
 
+def _cond_jax(x, t, **kw):
+    """Synthetic grad(log p(y|x)) — deterministic, timestep-dependent."""
+    return 0.05 * jnp.cos(x) * (1.0 + t.astype(jnp.float32) / 50.0)[:, None, None, None]
+
+
+def _cond_torch(x, t, **kw):
+    return 0.05 * torch.cos(x) * (1.0 + t.float() / 50.0)[:, None, None, None]
+
+
+def test_ddim_cond_fn_chain_matches_reference():
+    """condition_score in the DDIM path (gaussian_diffusion.py:536-537,
+    respace.py:102-103 remap) — eta=0 keeps the chain deterministic."""
+    steps = "ddim10"
+    ours = create_diffusion(steps)
+    ref = ref_create_diffusion(steps)
+    z = _x0()
+
+    got = ours.ddim_sample_loop(
+        _model_jax, z.shape[:1] + (4, 7, 7), jax.random.PRNGKey(0),
+        noise=jnp.asarray(z), clip_denoised=False, cond_fn=_cond_jax, eta=0.0,
+    )
+    # model_kwargs={} explicitly: the reference's condition_score does
+    # ``**model_kwargs`` without a None guard (gaussian_diffusion.py:369).
+    want = ref.ddim_sample_loop(
+        _model_torch, z.shape[:1] + (4, 7, 7), noise=torch.from_numpy(z),
+        clip_denoised=False, cond_fn=_cond_torch, eta=0.0, device="cpu",
+        model_kwargs={},
+    )
+    mae = np.abs(np.asarray(got) - want.numpy()).mean()
+    assert mae < 1e-3, f"conditioned DDIM pixel MAE {mae}"
+
+
+def test_condition_mean_and_score_match_reference_pointwise():
+    """Both conditioning strategies, respaced so the t-remap in cond_fn is
+    exercised (reference wraps cond_fn too, respace.py:99-103)."""
+    ours = create_diffusion("25")
+    ref = ref_create_diffusion("25")
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 4, 7, 7)).astype(np.float32)
+    t = np.array([3, 20], np.int64)
+
+    got_pmv = ours.p_mean_variance(
+        _model_jax, jnp.asarray(x), jnp.asarray(t), clip_denoised=False
+    )
+    want_pmv = ref.p_mean_variance(
+        _model_torch, torch.from_numpy(x), torch.from_numpy(t), clip_denoised=False
+    )
+
+    got_mean = ours.condition_mean(
+        _cond_jax, got_pmv, jnp.asarray(x), jnp.asarray(t)
+    )
+    want_mean = ref.condition_mean(
+        _cond_torch, want_pmv, torch.from_numpy(x), torch.from_numpy(t),
+        model_kwargs={},
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_mean), want_mean.numpy(), rtol=_tol(2e-5), atol=_tol(2e-5)
+    )
+
+    got_s = ours.condition_score(_cond_jax, got_pmv, jnp.asarray(x), jnp.asarray(t))
+    want_s = ref.condition_score(
+        _cond_torch, want_pmv, torch.from_numpy(x), torch.from_numpy(t),
+        model_kwargs={},
+    )
+    for k in ("mean", "pred_xstart"):
+        np.testing.assert_allclose(
+            np.asarray(got_s[k]), want_s[k].numpy(),
+            rtol=_tol(2e-5), atol=_tol(2e-5), err_msg=k,
+        )
+
+
+def test_progressive_loops_match_reference_generators():
+    """Stacked lax.scan intermediates == the reference's yielded dicts
+    (gaussian_diffusion.py:464-511,633-680), for the deterministic DDIM case
+    and for DDPM pred_xstart (noise-free quantity) per step."""
+    steps = "ddim10"
+    ours = create_diffusion(steps)
+    ref = ref_create_diffusion(steps)
+    z = _x0()
+
+    got = ours.ddim_sample_loop_progressive(
+        _model_jax, z.shape[:1] + (4, 7, 7), jax.random.PRNGKey(0),
+        noise=jnp.asarray(z), clip_denoised=False, eta=0.0,
+    )
+    want = list(
+        ref.ddim_sample_loop_progressive(
+            _model_torch, z.shape[:1] + (4, 7, 7), noise=torch.from_numpy(z),
+            clip_denoised=False, eta=0.0, device="cpu",
+        )
+    )
+    assert got["sample"].shape[0] == len(want) == ours.num_timesteps
+    for i in (0, len(want) // 2, len(want) - 1):
+        for k in ("sample", "pred_xstart"):
+            np.testing.assert_allclose(
+                np.asarray(got[k][i]), want[i][k].numpy(),
+                rtol=_tol(5e-4), atol=_tol(5e-4), err_msg=f"step {i} {k}",
+            )
+    np.testing.assert_array_equal(
+        np.asarray(got["final"]), np.asarray(got["sample"][-1])
+    )
+
+    # DDPM progressive: compare pred_xstart at step 0 (before any sampled
+    # noise enters the trajectory).
+    got_p = ours.p_sample_loop_progressive(
+        _model_jax, z.shape[:1] + (4, 7, 7), jax.random.PRNGKey(0),
+        noise=jnp.asarray(z), clip_denoised=False,
+    )
+    gen = ref.p_sample_loop_progressive(
+        _model_torch, z.shape[:1] + (4, 7, 7), noise=torch.from_numpy(z),
+        clip_denoised=False, device="cpu",
+    )
+    first = next(gen)
+    gen.close()
+    np.testing.assert_allclose(
+        np.asarray(got_p["pred_xstart"][0]), first["pred_xstart"].numpy(),
+        rtol=_tol(5e-4), atol=_tol(5e-4),
+    )
+
+
 @pytest.mark.parametrize("respacing", ["", "25"])
 def test_p_mean_variance_matches_reference(respacing):
     ours = create_diffusion(respacing)
