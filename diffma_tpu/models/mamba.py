@@ -175,21 +175,34 @@ class Mamba(nn.Module):
             return weights
 
         if self._axis_size(self.tp_axis) > 1:
-            if self._axis_size(self.sp_axis) > 1:
-                raise NotImplementedError("tp+sp composition in one Mamba1 mixer")
+            sp = self._axis_size(self.sp_axis) > 1
+            if sp and spec.fwd.shape[1] % self._axis_size(self.sp_axis):
+                raise ValueError(
+                    f"tp+sp composition needs the stream length "
+                    f"{spec.fwd.shape[1]} divisible by the sp axis size "
+                    f"{self._axis_size(self.sp_axis)}"
+                )
+            # tp+sp in ONE mixer (mirrors the reference's coupling of
+            # sequence parallelism to the tensor-parallel group,
+            # block/mamba2.py:260,276,708-710): one shard_map manual over
+            # both axes; the selective scan runs per sequence shard with a
+            # state-summary exchange over sp, and the disjoint merge
+            # contributions fold into a single psum over {tp, sp}.
             fn = jax.shard_map(
-                partial(self._forward, spec=spec, tp=True),
+                partial(self._forward, spec=spec, tp=True, sp=sp),
                 mesh=self.mesh,
                 in_specs=(P(),) * (1 + len(weights)),
                 out_specs=P(),
-                axis_names={self.tp_axis},
+                axis_names=(
+                    {self.tp_axis, self.sp_axis} if sp else {self.tp_axis}
+                ),
             )
             return fn(x, *weights)
         return self._forward(x, *weights, spec=spec)
 
     def _forward(
         self, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A_log, D, out_w,
-        spec: ScanSpec, tp: bool = False,
+        spec: ScanSpec, tp: bool = False, sp: bool = False,
     ) -> jax.Array:
         """Mixer body.  With ``tp=True`` it runs per tensor-parallel shard
         (under shard_map): every weight is sliced to this shard's contiguous
@@ -268,7 +281,22 @@ class Mamba(nn.Module):
                 + dt_b.astype(jnp.float32)
             )
             impl = "auto" if (tp and self.scan_impl == "fused") else self.scan_impl
-            if not tp and self._axis_size(self.sp_axis) > 1:
+            if tp and sp:
+                # Sequence-parallel scan inside the tensor-parallel shard:
+                # conv/projections above stay full-length (sp-replicated);
+                # each sp shard scans its Ls/nsp slice and exchanges one
+                # (G, d, n) composed-map summary (parallel/sequence.py).
+                from diffma_tpu.parallel.sequence import (
+                    _sel_scan_local, _seq_shard,
+                )
+
+                nsp = self._axis_size(self.sp_axis)
+                shd = lambda a: _seq_shard(a, self.sp_axis, nsp)  # noqa: E731
+                y = _sel_scan_local(
+                    shd(u), shd(delta), A, shd(B_ssm), shd(C_ssm), D,
+                    shd(z), delta_softplus=True, axis=self.sp_axis,
+                )
+            elif not tp and self._axis_size(self.sp_axis) > 1:
                 from diffma_tpu.parallel.sequence import (
                     selective_scan_sequence_parallel,
                 )
@@ -280,7 +308,17 @@ class Mamba(nn.Module):
             else:
                 y = selective_scan(u, delta, A, B_ssm, C_ssm, D, z=z, impl=impl)
 
-        psum = (lambda t: jax.lax.psum(t, self.tp_axis)) if tp else (lambda t: t)
+        if tp and sp:
+            # Scatter the local scan slice into a zero full-length buffer;
+            # the disjoint per-shard contributions are summed by the psum
+            # over {tp, sp} fused into the out_proj reduction below.
+            from diffma_tpu.parallel.sequence import _seq_unshard
+
+            y = _seq_unshard(y, Ls, self.sp_axis)
+            axes = (self.tp_axis, self.sp_axis)
+        else:
+            axes = self.tp_axis
+        psum = (lambda t: jax.lax.psum(t, axes)) if tp else (lambda t: t)
         ow = out_w.astype(cd)
 
         if spec.mamba1_vim_quirk:

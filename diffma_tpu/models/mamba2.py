@@ -180,21 +180,35 @@ class Mamba2(nn.Module):
             )
 
         if self._axis_size(self.tp_axis) > 1:
-            if self._axis_size(self.sp_axis) > 1:
-                raise NotImplementedError("tp+sp composition in one Mamba2 mixer")
+            sp = self._axis_size(self.sp_axis) > 1
+            if sp and spec.fwd.shape[1] % self._axis_size(self.sp_axis):
+                raise ValueError(
+                    f"tp+sp composition needs the stream length "
+                    f"{spec.fwd.shape[1]} divisible by the sp axis size "
+                    f"{self._axis_size(self.sp_axis)}"
+                )
+            # tp+sp composition (the reference couples them the same way:
+            # sequence_parallel is a mode OF tensor parallel,
+            # block/mamba2.py:260,276,708-710): ONE shard_map manual over
+            # both axes; heads are tp-sliced as below, the SSD scan runs on
+            # this shard's sequence slice with a state-summary exchange over
+            # sp, and the merge contributions (disjoint token sets per sp
+            # shard) fold into a single psum over {tp, sp} at out_proj.
             fn = jax.shard_map(
-                partial(self._forward, spec=spec, tp=True),
+                partial(self._forward, spec=spec, tp=True, sp=sp),
                 mesh=self.mesh,
                 in_specs=(P(),) * (1 + len(weights)),
                 out_specs=P(),
-                axis_names={self.tp_axis},
+                axis_names=(
+                    {self.tp_axis, self.sp_axis} if sp else {self.tp_axis}
+                ),
             )
             return fn(u, *weights)
         return self._forward(u, *weights, spec=spec)
 
     def _forward(
         self, u, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w,
-        spec: ScanSpec, tp: bool = False,
+        spec: ScanSpec, tp: bool = False, sp: bool = False,
     ) -> jax.Array:
         B_, L, _ = u.shape
         d_in, n, g = self.d_inner, self.d_state, self.ngroups
@@ -267,7 +281,29 @@ class Mamba2(nn.Module):
         )
         x_h = x_ssm.reshape(B_ * S, Ls, H_eff, Ph)
         A = -jnp.exp(A_log.astype(jnp.float32))
-        if tp:
+        Ls_eff = Ls
+        if tp and sp:
+            # Sequence-parallel scan INSIDE the tensor-parallel shard: each
+            # sp shard scans its contiguous Ls/nsp token slice and exchanges
+            # one (G, H, P, N) state summary over sp (parallel/sequence.py);
+            # projections/conv above stay full-length (sp-replicated) -- the
+            # scan is the sequential bottleneck sp splits.
+            from diffma_tpu.parallel.sequence import (
+                _local_with_carry, _seq_shard,
+            )
+
+            nsp = self._axis_size(self.sp_axis)
+            shd = lambda a: _seq_shard(a, self.sp_axis, nsp)  # noqa: E731
+            y = _local_with_carry(
+                shd(x_h), shd(dt.astype(jnp.float32)), A, shd(B_ssm),
+                shd(C_ssm), D, dt_bias=dt_bias, dt_softplus=True,
+                dt_limit=self.dt_limit, chunk_size=self.chunk_size,
+                axis=self.sp_axis,
+                varying_axes=(self.tp_axis, self.sp_axis),
+            )
+            z = shd(z)
+            Ls_eff = Ls // nsp
+        elif tp:
             # Under shard_map the inter-chunk lax.scan carry must be marked
             # device-varying over the manual axis or its type won't match
             # the (tp-varying) body output.
@@ -275,7 +311,10 @@ class Mamba2(nn.Module):
                 jnp.zeros((B_ * S, H_eff, Ph, n), jnp.float32),
                 (self.tp_axis,), to="varying",
             )
-        if not tp and self._axis_size(self.sp_axis) > 1:
+            y = ssd_chunked(
+                x_h, dt.astype(jnp.float32), A, B_ssm, C_ssm, D, **ssd_args
+            )
+        elif self._axis_size(self.sp_axis) > 1:
             from diffma_tpu.parallel.sequence import ssd_sequence_parallel
 
             y = ssd_sequence_parallel(
@@ -286,7 +325,7 @@ class Mamba2(nn.Module):
             y = ssd_chunked(
                 x_h, dt.astype(jnp.float32), A, B_ssm, C_ssm, D, **ssd_args
             )
-        y = y.reshape(B_ * S, Ls, d_eff)
+        y = y.reshape(B_ * S, Ls_eff, d_eff)
 
         if tp:
             # Gated RMSNorm whose single group spans ALL of d_inner
@@ -306,6 +345,16 @@ class Mamba2(nn.Module):
                 group_size=d_in // g, norm_before_gate=False,
             )
 
+        if tp and sp:
+            # Scatter the local slice back into a zero full-length buffer:
+            # sp shards own disjoint stream positions, so summing the merged
+            # outputs over sp reassembles the sequence -- folded into the
+            # out_proj psum below (one all-reduce over {tp, sp}, no
+            # dedicated all_gather).
+            from diffma_tpu.parallel.sequence import _seq_unshard
+
+            y = _seq_unshard(y, Ls, self.sp_axis)
+
         merge = jnp.asarray(np.ascontiguousarray(spec.merge))
         ys = y.reshape(B_, S * Ls, d_eff)
         merged = jnp.take(ys, merge.reshape(-1), axis=1).reshape(
@@ -314,4 +363,6 @@ class Mamba2(nn.Module):
         merged = jnp.sum(merged, axis=2) * spec.scale
 
         out = jnp.dot(merged.astype(cd), out_w.astype(cd))
+        if tp and sp:
+            return jax.lax.psum(out, (self.tp_axis, self.sp_axis))
         return jax.lax.psum(out, self.tp_axis) if tp else out

@@ -121,16 +121,40 @@ def selective_scan_sequence_parallel(
     return fn(u, delta, B, C, z, A, D)
 
 
+def _seq_shard(arr, axis: str, nsp: int, dim: int = 1):
+    """This shard's contiguous slice of a (replicated) sequence axis."""
+    size = arr.shape[dim] // nsp
+    idx = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(arr, idx * size, size, dim)
+
+
+def _seq_unshard(arr, full_len: int, axis: str, dim: int = 1):
+    """Scatter this shard's slice back into a zero full-length buffer.
+    Different shards fill disjoint rows, so a later ``psum`` over ``axis``
+    (typically fused with the out_proj reduction) reassembles the sequence
+    without a dedicated all_gather."""
+    idx = jax.lax.axis_index(axis)
+    zeros = jnp.zeros(arr.shape[:dim] + (full_len,) + arr.shape[dim + 1:],
+                      arr.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(
+        zeros, arr, idx * arr.shape[dim], dim
+    )
+
+
 def _local_with_carry(x, dt, A, B, C, D, dt_bias, dt_softplus, dt_limit,
-                      chunk_size, axis):
+                      chunk_size, axis, varying_axes=None):
     """Body run per sequence shard under shard_map."""
     # Local scan with zero entering state; capture the local final state.
     # The explicit zero initial state must be marked device-varying so the
-    # inner lax.scan carry types line up under shard_map.
+    # inner lax.scan carry types line up under shard_map.  When the caller
+    # composes sp inside a tensor-parallel shard, the carry is varying over
+    # BOTH manual axes (``varying_axes``).
     G, _, H, P = x.shape
     N = B.shape[-1]
     S0 = jax.lax.pcast(
-        jnp.zeros((G, H, P, N), jnp.float32), (axis,), to="varying"
+        jnp.zeros((G, H, P, N), jnp.float32),
+        tuple(varying_axes) if varying_axes is not None else (axis,),
+        to="varying",
     )
     y_local, S_out = ssd_chunked(
         x, dt, A, B, C, D, dt_bias=dt_bias, dt_softplus=dt_softplus,

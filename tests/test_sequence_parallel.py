@@ -194,3 +194,109 @@ def test_train_step_with_sp_active():
         sb = shard_batch(jax.tree.map(np.asarray, batch), mesh)
         s1, m1 = jax.jit(step, donate_argnums=(0,))(s1, sb, jax.random.PRNGKey(2))
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# tp x sp composition in ONE mixer (the reference couples them the same way:
+# sequence_parallel is a mode of the tensor-parallel group,
+# block/mamba2.py:260,276,708-710)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_mamba2", [False, True])
+def test_mixer_tp_sp_composed_matches_unsharded(use_mamba2):
+    """Mixer-level: tp=2 x sp=2 (heads tp-sliced, scan sequence-parallel
+    inside the tp shard, one psum over {tp, sp}) == plain forward + grads."""
+    from diffma_tpu.models.mamba import Mamba
+    from diffma_tpu.models.mamba2 import Mamba2
+    from diffma_tpu.ops.scan_orders import build_scan_spec
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2), ("dp", "tp", "sp"))
+    spec = build_scan_spec("spiral", 4, 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 64))
+    if use_mamba2:
+        ref = Mamba2(d_model=64, d_state=16, headdim=16)
+        m = Mamba2(d_model=64, d_state=16, headdim=16, mesh=mesh,
+                   tp_axis="tp", sp_axis="sp")
+    else:
+        ref = Mamba(d_model=64, d_state=8)
+        m = Mamba(d_model=64, d_state=8, mesh=mesh, tp_axis="tp", sp_axis="sp")
+
+    p = ref.init(jax.random.PRNGKey(1), x, spec)
+    want = ref.apply(p, x, spec)
+    got = m.apply(p, x, spec)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+    def loss(p, mod):
+        return jnp.mean(jnp.square(mod.apply(p, x, spec)))
+
+    g_ref = jax.grad(loss)(p, ref)
+    g_tp = jax.grad(loss)(p, m)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_tp)):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, rtol=5e-4, atol=5e-4
+        )
+
+
+def test_mixer_tp_sp_requires_divisible_length():
+    from diffma_tpu.models.mamba2 import Mamba2
+    from diffma_tpu.ops.scan_orders import ScanSpec
+    import numpy as onp
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2), ("dp", "tp", "sp"))
+    # stream length 15 is not divisible by sp=2
+    fwd = onp.arange(15, dtype=onp.int32)[None, :]
+    merge = onp.arange(15, dtype=onp.int32)[:, None]
+    spec = ScanSpec(fwd=fwd, merge=merge, scale=1.0)
+    m = Mamba2(d_model=64, d_state=16, headdim=16, mesh=mesh,
+               tp_axis="tp", sp_axis="sp")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 15, 64))
+    with pytest.raises(ValueError, match="divisible by the sp axis"):
+        m.init(jax.random.PRNGKey(1), x, spec)
+
+
+def test_train_step_dp_tp_sp_all_axes():
+    """Full training step on the dp=2 x tp=2 x sp=2 mesh with sp composed
+    INSIDE the tp mixers; loss matches the unsharded step."""
+    import optax
+
+    from diffma_tpu.diffusion import create_diffusion
+    from diffma_tpu.models.diffma import DiffMa
+    from diffma_tpu.parallel import make_mesh, shard_batch, shard_params
+    from diffma_tpu.train.state import TrainState, make_train_step
+    from diffma_tpu.train.train import make_loss_fn, synthetic_batch
+
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    kw = dict(
+        input_size=8, patch_size=2, depth=2, hidden_size=128,
+        block_type="spiral", d_state=16,
+    )
+    model = DiffMa(**kw, mesh=mesh, tp_axis="tp", sp_axis="sp")
+    model0 = DiffMa(**kw)
+    diffusion = create_diffusion("")
+    batch = synthetic_batch(jax.random.PRNGKey(0), 4, 8, 16, dim=128)
+    params = model0.init(
+        jax.random.PRNGKey(1), batch["z"], jnp.zeros(4, jnp.int32),
+        batch["y"], batch["y2"], batch["w"],
+    )["params"]
+    opt = optax.adamw(1e-3, weight_decay=0.0)
+
+    s0 = TrainState.create(params, opt)
+    s0, m0 = jax.jit(make_train_step(make_loss_fn(model0, diffusion), opt))(
+        s0, batch, jax.random.PRNGKey(2)
+    )
+
+    step = make_train_step(make_loss_fn(model, diffusion), opt)
+    with mesh:
+        s1 = TrainState.create(shard_params(params, mesh), opt)
+        sb = shard_batch(jax.tree.map(np.asarray, batch), mesh)
+        s1, m1 = jax.jit(step, donate_argnums=(0,))(s1, sb, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=2e-4)
+    # the updated sharded params stay in sync with the unsharded step
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3
+        )
