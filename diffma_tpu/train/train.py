@@ -57,7 +57,27 @@ __all__ = ["main", "build_conditioning", "make_loss_fn"]
 
 
 def _maybe_distributed():
-    if int(os.environ.get("DIFFMA_NUM_PROCESSES", "1")) > 1:
+    """Multi-process runtime init (the torchrun analogue, README.md:84-97).
+
+    Launch each process with
+        DIFFMA_NUM_PROCESSES=<n> DIFFMA_PROCESS_ID=<i>
+        [DIFFMA_COORDINATOR=host:port]
+    (tools/run_multiprocess_smoke.py does this end-to-end on CPU).  On
+    cluster schedulers that jax auto-detects (SLURM, OMPI), setting only
+    DIFFMA_NUM_PROCESSES defers to ``jax.distributed.initialize()``'s own
+    discovery."""
+    n = int(os.environ.get("DIFFMA_NUM_PROCESSES", "1"))
+    if n <= 1 or jax.distributed.is_initialized():
+        return
+    if "DIFFMA_PROCESS_ID" in os.environ:
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get(
+                "DIFFMA_COORDINATOR", "localhost:12321"
+            ),
+            num_processes=n,
+            process_id=int(os.environ["DIFFMA_PROCESS_ID"]),
+        )
+    else:
         jax.distributed.initialize()
 
 
@@ -191,6 +211,18 @@ def main(cfg) -> Optional[TrainState]:
     else:
         exp_dir = None
         logger = create_logger(None, rank)
+    if jax.process_count() > 1:
+        # Every process needs rank 0's experiment dir: Orbax checkpoint
+        # saves are collective and must receive one consistent path.
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(512, np.uint8)
+        if rank == 0:
+            raw = os.path.abspath(exp_dir).encode()
+            assert len(raw) <= buf.size, "experiment path too long to broadcast"
+            buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        exp_dir = bytes(buf[buf != 0]).decode()
     wandb = WandbShim(bool(cfg.get("wandb")), str(cfg.model).replace("/", "_"))
 
     assert cfg.image_size % 8 == 0, "Image size must be divisible by 8 (VAE)."
@@ -346,16 +378,22 @@ def main(cfg) -> Optional[TrainState]:
                 running, t0 = [], time.time()
 
             if train_steps % ckpt_every == 0 and train_steps > 0:
+                # Orbax saves are COLLECTIVE in a multi-process runtime (the
+                # checkpointer runs its own cross-host coordination), so
+                # every process calls save; only rank 0's experiment dir is
+                # real, the others follow its path layout.  The explicit
+                # barrier afterwards is the dist.barrier() parity point
+                # (train.py:303).
+                path = save_checkpoint(
+                    os.path.join(exp_dir, "checkpoints"), train_steps,
+                    {
+                        "model": jax.device_get(state.params),
+                        "ema": jax.device_get(state.ema_params),
+                        "opt": jax.device_get(state.opt_state),
+                        "args": cfg.to_dict(),
+                    },
+                )
                 if rank == 0:
-                    path = save_checkpoint(
-                        os.path.join(exp_dir, "checkpoints"), train_steps,
-                        {
-                            "model": jax.device_get(state.params),
-                            "ema": jax.device_get(state.ema_params),
-                            "opt": jax.device_get(state.opt_state),
-                            "args": cfg.to_dict(),
-                        },
-                    )
                     logger.info(f"Saved checkpoint to {path}")
                 if jax.process_count() > 1:
                     # dist.barrier() parity (train.py:303)

@@ -136,3 +136,28 @@ def test_reference_configs_load_unmodified():
     assert cfg.dt_rank == 16 and cfg.d_state == 16
     assert cfg.sample_num_steps == 250
     assert cfg.load_ckpt_type == "ema"
+
+
+@pytest.mark.slow
+def test_two_real_processes_train_and_match():
+    """THE multi-process runtime, for real: 2 spawned processes x 4 virtual
+    CPU devices run train.main through jax.distributed (gloo collectives,
+    per-host loader shard, make_array_from_process_local_data, cross-process
+    grad psum, collective Orbax ckpt + barrier) and assert parameter parity
+    with a single-device replica.  Mirrors the reference's torchrun
+    operating mode (README.md:84-97)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_", "DIFFMA_"))
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "run_multiprocess_smoke.py")],
+        capture_output=True, text=True, timeout=1700, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
+    assert proc.stdout.count("MULTIPROC PARITY OK") == 2, proc.stdout[-4000:]
