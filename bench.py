@@ -150,7 +150,11 @@ def main():
         make_train_step(make_loss_fn(model2, train_diff2), opt2),
         donate_argnums=(0,),
     )
-    state2, m2 = step2(state2, cond, jax.random.PRNGKey(8))
+    # Warm-up: compile + a full timed-length window.  The first ~10 steps
+    # after compile run up to ~40% slow (allocator/donation settling under
+    # the axon tunnel); a single warm-up step is not enough.
+    for i in range(11):
+        state2, m2 = step2(state2, cond, jax.random.fold_in(jax.random.PRNGKey(8), i))
     _fetch(m2["loss"])
     t0 = time.time()
     for i in range(10):
@@ -175,7 +179,9 @@ def main():
         make_train_step(make_loss_fn(model, train_diff), optimizer),
         donate_argnums=(0,),
     )
-    state, m = step(state, cond, jax.random.PRNGKey(6))
+    # Warm-up: compile + a full timed-length window (see mamba2 note above).
+    for i in range(11):
+        state, m = step(state, cond, jax.random.fold_in(jax.random.PRNGKey(6), i))
     _fetch(m["loss"])
     t0 = time.time()
     reps_t = 10

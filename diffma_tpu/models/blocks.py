@@ -32,7 +32,7 @@ from diffma_tpu.models.layers import modulate, xavier_uniform
 from diffma_tpu.models.mamba import Mamba
 from diffma_tpu.models.mamba2 import Mamba2
 from diffma_tpu.ops.fused_mixer import mamba_dual_mixer_fused, mixer_fused_eligible
-from diffma_tpu.ops.fused_ssd import mamba2_dual_mixer_fused
+from diffma_tpu.ops.fused_ssd import mamba2_dual_mixer_fused, spiral_block_fused
 from diffma_tpu.ops.norm import layer_norm
 from diffma_tpu.ops.scan_orders import ScanSpec
 
@@ -79,10 +79,29 @@ class _AffineLN(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         w = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        if return_weights:
+            return w, b
         return layer_norm(x, w, b, eps=self.eps)
+
+
+class _DenseParams(nn.Module):
+    """Raw kernel/bias with nn.Dense's param tree (for fused-kernel paths;
+    checkpoints stay interchangeable with the unfused Dense)."""
+
+    fin: int
+    fout: int
+    kernel_init: object = xavier_uniform
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, (self.fin, self.fout),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.fout,),
+                       jnp.float32)
+        return k, b
 
 
 class SpiralMambaBlock(nn.Module):
@@ -90,6 +109,7 @@ class SpiralMambaBlock(nn.Module):
     d_state: int = 16
     use_mamba2: bool = False
     scan_impl: str = "auto"
+    fuse_block: bool = False  # whole-block Pallas kernels (inference path)
     mesh: Optional[object] = None
     tp_axis: Optional[str] = None
     sp_axis: Optional[str] = None
@@ -98,8 +118,6 @@ class SpiralMambaBlock(nn.Module):
     @nn.compact
     def __call__(self, x, c, w, spec: ScanSpec):
         shift, scale, gate = _AdaLN(self.hidden, 3, self.dtype, name="adaLN")(c)
-        x_mod = modulate(_AffineLN(self.hidden, name="norm1")(x), shift, scale)
-        w_ssm_in = x_mod * w  # soft mask from the CT encoder
 
         m1 = _mixer(
             self.use_mamba2, self.hidden, self.d_state, self.dtype,
@@ -109,6 +127,40 @@ class SpiralMambaBlock(nn.Module):
             self.use_mamba2, self.hidden, self.d_state, self.dtype,
             self.scan_impl, "mamba2", self.mesh, self.tp_axis, self.sp_axis,
         )
+        if (
+            self.fuse_block
+            and self.use_mamba2
+            and self.scan_impl == "fused"
+            and self.mesh is None
+            and mixer_fused_eligible(spec)
+        ):
+            # The WHOLE block (LN -> modulate -> both SSD mixers -> learned
+            # branch mix -> gate-residual) as two Pallas calls: the block's
+            # only HBM traffic is x in / out (ops/fused_ssd.py).  Param tree
+            # is identical to the unfused path (raw-weight holders share the
+            # submodule names).
+            ln1w, ln1b = _AffineLN(self.hidden, name="norm1")(
+                None, return_weights=True
+            )
+            anw, anb = _AffineLN(2 * self.hidden, name="attn_norm")(
+                None, return_weights=True
+            )
+            fc1k, fc1b = _DenseParams(
+                2 * self.hidden, self.hidden, name="attn_fc1"
+            )()
+            fc2k, fc2b = _DenseParams(self.hidden, 1, name="attn_fc2")()
+            w1 = m1(None, spec, return_weights=True)
+            w2 = m2(None, spec, return_weights=True)
+            stacked = tuple(jnp.stack([a, b]) for a, b in zip(w1, w2))
+            return spiral_block_fused(
+                spec, x.astype(self.dtype), w.astype(jnp.float32),
+                shift, scale, gate, ln1w, ln1b, anw, anb, fc1k, fc1b,
+                fc2k, fc2b, stacked, tuple(m1.dt_limit), m1.norm_eps,
+            )
+
+        x_mod = modulate(_AffineLN(self.hidden, name="norm1")(x), shift, scale)
+        w_ssm_in = x_mod * w  # soft mask from the CT encoder
+
         if (
             self.scan_impl == "fused"
             and self.mesh is None

@@ -68,6 +68,7 @@ class DiffMa(nn.Module):
     d_state: int = 16
     use_mamba2: bool = False
     scan_impl: str = "auto"
+    fuse_block: bool = False  # whole-block Pallas kernels (inference path)
     remat: bool = False  # rematerialise blocks: trade FLOPs for HBM at depth
     mesh: Optional[object] = None  # jax Mesh; required for tp_axis/sp_axis
     tp_axis: Optional[str] = None  # tensor-parallel mesh axis for the mixers
@@ -93,11 +94,16 @@ class DiffMa(nn.Module):
                 hidden=self.hidden_size, num_heads=8, dtype=self.dtype,
                 name=f"block_{i}",
             )
+        extra = (
+            {"fuse_block": self.fuse_block}
+            if self.block_type == "spiral"
+            else {}
+        )
         return cls(
             hidden=self.hidden_size, d_state=self.d_state,
             use_mamba2=self.use_mamba2, scan_impl=self.scan_impl,
             mesh=self.mesh, tp_axis=self.tp_axis, sp_axis=self.sp_axis,
-            dtype=self.dtype, name=f"block_{i}",
+            dtype=self.dtype, name=f"block_{i}", **extra,
         )
 
     @nn.compact
@@ -200,7 +206,7 @@ def _family(prefix: str, block_type: str, extra: Optional[dict] = None):
     return out
 
 
-#: Registry mirroring model.py:634-673 (66 named configs).
+#: Registry mirroring model.py:634-673 (80 named configs).
 DiffMa_models = {
     **_family("DiffMa", "spiral"),
     **_family("ZigMa", "zig", {"BL/2": (13, 2)}),

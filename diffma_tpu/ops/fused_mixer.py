@@ -307,17 +307,20 @@ def _fwd_impl(spec, x, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D, out_w,
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(
+        # matmul weights + one-hot P pre-cast to the compute dtype: the
+        # kernel casts them before every dot anyway, and a bf16 fetch
+        # halves the dominant per-grid-step weight streaming
         x,
-        in_w,
+        in_w.astype(x.dtype),
         jnp.transpose(conv_w.astype(jnp.float32)),  # (K, d)
         conv_b.astype(jnp.float32)[None, :],
-        xp_w,
-        dt_w,
+        xp_w.astype(x.dtype),
+        dt_w.astype(x.dtype),
         dt_b.astype(jnp.float32)[None, :],
         AT,
         D.astype(jnp.float32)[None, :],
-        jnp.stack([out_w, out_w[:, ::-1]]) if quirk else out_w,
-        P,
+        (jnp.stack([out_w, out_w[:, ::-1]]) if quirk else out_w).astype(x.dtype),
+        P.astype(x.dtype),
     )
     if want_merged:
         out, merged = out
@@ -434,17 +437,18 @@ def _dual_fwd_impl(spec, x12, *stacked, want_merged=False):
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(
+        # weights + P pre-cast to compute dtype (see single-mixer launcher)
         x,
-        in_w,
+        in_w.astype(x.dtype),
         jnp.transpose(conv_w.astype(jnp.float32), (0, 2, 1)),  # (M, K, d)
         conv_b.astype(jnp.float32)[:, None, :],
-        xp_w,
-        dt_w,
+        xp_w.astype(x.dtype),
+        dt_w.astype(x.dtype),
         dt_b.astype(jnp.float32)[:, None, :],
         AT,
         D.astype(jnp.float32)[:, None, :],
-        out_w,
-        P,
+        out_w.astype(x.dtype),
+        P.astype(x.dtype),
     )
     if want_merged:
         out, merged = out

@@ -56,20 +56,78 @@ from diffma_tpu.ops.scan_orders import ScanSpec
 from diffma_tpu.ops.selective_scan import _COMPILER_PARAMS, _interpret, _silu
 from diffma_tpu.ops.ssd import ssd_chunked
 
-__all__ = ["mamba2_mixer_fused", "mamba2_dual_mixer_fused"]
+__all__ = ["mamba2_mixer_fused", "mamba2_dual_mixer_fused", "spiral_block_fused"]
+
+
+def _mdot(mask, a, cd, transpose_mask=False):
+    """``mask @ a`` (or ``mask^T @ a``) at ~fp32 accuracy.
+
+    ``mask`` is exactly representable in bf16 (0/1 tril / one-hot).  fp32
+    models: one HIGHEST dot.  bf16 models: two DEFAULT passes over a hi/lo
+    bf16 split of ``a`` -- Mosaic has no HIGH (bf16x3) lowering, and the
+    split is accurate to ~2^-17 relative, far inside what the downstream
+    exp() tolerates, at 1/3 of HIGHEST's six MXU passes."""
+    dn = (((0,), (0,)), ((), ()))
+    if cd == jnp.float32:
+        prec = lax.Precision.HIGHEST
+        if transpose_mask:
+            return lax.dot_general(
+                mask, a, dn, preferred_element_type=jnp.float32, precision=prec
+            )
+        return jnp.dot(mask, a, preferred_element_type=jnp.float32, precision=prec)
+    m16 = mask.astype(jnp.bfloat16)
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if transpose_mask:
+        f = lambda v: lax.dot_general(  # noqa: E731
+            m16, v, dn, preferred_element_type=jnp.float32
+        )
+    else:
+        f = lambda v: jnp.dot(m16, v, preferred_element_type=jnp.float32)  # noqa: E731
+    return f(hi) + f(lo)
+
+
+def _dotm(a, mask, cd):
+    """``a @ mask`` counterpart of :func:`_mdot` (mask on the right)."""
+    if cd == jnp.float32:
+        return jnp.dot(
+            a, mask, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+    m16 = mask.astype(jnp.bfloat16)
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jnp.dot(hi, m16, preferred_element_type=jnp.float32)
+        + jnp.dot(lo, m16, preferred_element_type=jnp.float32)
+    )
 
 
 def _ssd_kernel(
     x_ref, inw_ref, convw_ref, convb_ref, dtb_ref, A_ref, D_ref,
     normw_ref, outw_ref, P_ref,
-    out_ref,
-    zxbuf, xbcbuf, csbuf, ybuf, accbuf,
-    *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, Lr=None,
+    *rest,
+    L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, Lr=None,
+    prologue=False, nbatch=None, ln_eps=1e-5,
 ):
     """One batch element: the whole SSD mixer with S unrolled streams.
 
     Weight refs are 2-D for the single-mixer entry point and 3-D with a
-    leading mixer dim for the dual (stacked-weights) entry point."""
+    leading mixer dim for the dual (stacked-weights) entry point.
+
+    With ``prologue=True`` (the block-fused spiral path) five extra input
+    refs precede the output: the CT soft mask (L, 1), the block's affine-LN
+    weight/bias (1, h) and the adaLN shift/scale (1, h) for this batch
+    element.  The kernel then computes ``modulate(LN(x))`` itself and, for
+    the second branch half of the grid (``program_id >= nbatch``), applies
+    the soft mask -- so the XLA prologue (and the stacked x12 round-trip)
+    disappears from HBM entirely."""
+
+    if prologue:
+        (wm_ref, lnw_ref, lnb_ref, mods_ref,
+         out_ref, zxbuf, xbcbuf, csbuf, ybuf, accbuf) = rest
+    else:
+        out_ref, zxbuf, xbcbuf, csbuf, ybuf, accbuf = rest
 
     def _w(ref):
         return ref[0] if ref.ndim == 3 else ref[...]
@@ -85,7 +143,21 @@ def _ssd_kernel(
     K = convw.shape[0]
     Lr = L if Lr is None else Lr  # per-stream rows (partition: padded Ls)
 
-    x = x_ref[0]  # (L, h)
+    if prologue:
+        xi = x_ref[0].astype(jnp.float32)  # (L, h)
+        mu = jnp.mean(xi, axis=-1, keepdims=True)
+        xc = xi - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = xc * lax.rsqrt(var + ln_eps) * lnw_ref[...] + lnb_ref[...]
+        # mods rows: 0 = shift, 1 = scale (2 = gate, used by the epilogue
+        # kernel; rows 3..7 are sublane padding)
+        xm = xn * (1.0 + mods_ref[0, 1:2]) + mods_ref[0, 0:1]
+        # second half of the grid = the soft-masked branch
+        is_masked = pl.program_id(0) >= nbatch
+        xm = jnp.where(is_masked, xm * wm_ref[0], xm)
+        x = xm.astype(cd)
+    else:
+        x = x_ref[0]  # (L, h)
     zxbuf[...] = jnp.dot(
         x, inw.astype(cd), preferred_element_type=jnp.float32, precision=prec
     ).astype(cd)
@@ -103,7 +175,7 @@ def _ssd_kernel(
     D_exp = jnp.dot(
         Dw, E, preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
-    )  # (1, d)
+    )  # (1, d); M=1, cost-free
     # -inf off the causal tril so exp() zeroes it; added, not selected
     # (cheaper than a per-head where on the VPU).
     neg = jnp.where(tril, 0.0, -1e30)  # (L, L) fp32
@@ -140,20 +212,19 @@ def _ssd_kernel(
         if dt_lo > 0.0 or dt_hi != float("inf"):
             dt = jnp.clip(dt, dt_lo, dt_hi)
 
-        # Exact inclusive cumsum of dt*A as a tril matmul (fp32, HIGHEST:
-        # the composable path cumsums in fp32; a bf16-rounded cumsum would
-        # compound through the exp).
+        # Inclusive cumsum of dt*A as a tril matmul.  A bf16-rounded
+        # single-pass cumsum would compound through the exp; the hi/lo
+        # split dot keeps ~f32 accuracy at 1/3 of HIGHEST's MXU passes.
         dA = dt * A[0][None, :]  # (L, H), A negative
-        csbuf[...] = jnp.dot(
-            trilf, dA, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )
+        csbuf[...] = _mdot(trilf, dA, cd)
         csT = jnp.transpose(csbuf[...])  # (H, L)
 
-        # dt broadcast over each head's hd channels via the one-hot E matmul
+        # dt broadcast over each head's hd channels via the one-hot E
+        # matmul.  Dtype-faithful precision: the product is cast to the
+        # compute dtype for the head matmuls immediately below, so extra
+        # passes here buy nothing (one rounding either way).
         dt_exp = jnp.dot(
-            dt, E, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            dt, E, preferred_element_type=jnp.float32, precision=prec,
         )  # (L, d)
         xdt = xssm * dt_exp  # (L, d) fp32
 
@@ -201,22 +272,36 @@ def _ssd_kernel(
     ).astype(out_ref.dtype)
 
 
-def _launch(spec, x, weights, *, stacked, dt_limit, eps):
+def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
+            keep_pad=False):
     """Shared launcher.  ``x`` is (B, L0, h) or, stacked, (M, B, L0, h);
-    weights are the Mamba2 param tuple, with a leading M axis when stacked."""
+    weights are the Mamba2 param tuple, with a leading M axis when stacked.
+
+    ``prologue``: (wmask (B, L0, 1), ln_w (h,), ln_b (h,), shift (B, h),
+    scale (B, h)) -- block-fused spiral mode: ``x`` is the UN-modulated
+    (B, L0, h) block input, weights are dual-stacked (M=2), and the grid is
+    branch-major 2B with the LN/modulate/mask computed in-kernel."""
     in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w = weights
-    if stacked:
+    if prologue is not None:
+        B_, L0, h = x.shape
+        G = 2 * B_
+        lead = lambda shape: (1,) + shape  # noqa: E731
+        widx = lambda i: (i // B_, 0, 0)  # noqa: E731
+        xidx = lambda i: (i % B_, 0, 0)  # noqa: E731
+    elif stacked:
         M, B_, L0, h = x.shape
         G = M * B_
         x = x.reshape(G, L0, h)
         m_of = lambda i: i // B_  # noqa: E731
         lead = lambda shape: (1,) + shape  # noqa: E731
         widx = lambda i: (m_of(i), 0, 0)  # noqa: E731
+        xidx = lambda i: (i, 0, 0)  # noqa: E731
     else:
         B_, L0, h = x.shape
         G = B_
         lead = lambda shape: shape  # noqa: E731
         widx = lambda i: (0, 0)  # noqa: E731
+        xidx = lambda i: (i, 0, 0)  # noqa: E731
     d = out_w.shape[-2]
     H = A_log.shape[-1]
     hd = d // H
@@ -235,19 +320,27 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps):
         _ssd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
         scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
         dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), Lr=Lr,
+        prologue=prologue is not None, nbatch=B_,
     )
-    # weight operands, reshaped to 2-D (or 3-D with the leading M axis)
+    # weight operands, reshaped to 2-D (or 3-D with the leading M axis).
+    # The big matmul weights (in/out projections) and the one-hot P are
+    # pre-cast to the compute dtype: the kernel casts them before every dot
+    # anyway, and fetching them at bf16 halves the dominant per-grid-step
+    # VMEM streaming cost (the kernel is weight-fetch-heavy: ~7 MB fp32 per
+    # grid element at DiffMa-B shapes).
     A = -jnp.exp(A_log.astype(jnp.float32))
+    cd = x.dtype
     ops = (
-        in_w,
+        in_w.astype(cd),
         jnp.swapaxes(conv_w.astype(jnp.float32), -1, -2),  # (K, conv_dim)
         conv_b.astype(jnp.float32)[..., None, :],
         dt_bias.astype(jnp.float32)[..., None, :],
         A[..., None, :],
         D.astype(jnp.float32)[..., None, :],
         norm_w.astype(jnp.float32)[..., None, :],
-        out_w,
+        out_w.astype(cd),
     )
+    P = P.astype(cd)
     wspecs = [
         pl.BlockSpec(lead(s), widx, memory_space=pltpu.VMEM)
         for s in (
@@ -255,13 +348,31 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps):
             (1, H), (1, d), (d, h),
         )
     ]
+    extra_ops, extra_specs = (), ()
+    if prologue is not None:
+        wmask, ln_w, ln_b, mods = prologue
+        if L != L0:
+            wmask = jnp.pad(wmask, ((0, 0), (0, L - L0), (0, 0)))
+        extra_ops = (
+            wmask.astype(jnp.float32),
+            ln_w.astype(jnp.float32)[None, :],
+            ln_b.astype(jnp.float32)[None, :],
+            mods,  # (B, 8, h) f32: rows shift/scale/gate + sublane pad
+        )
+        extra_specs = (
+            pl.BlockSpec((1, L, 1), xidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, h), xidx, memory_space=pltpu.VMEM),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, h), xidx, memory_space=pltpu.VMEM),
             *wspecs,
             pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -276,7 +387,10 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps):
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(x, *ops, P)
+    )(x, *ops, P, *extra_ops)
+    if prologue is not None:
+        out = out.reshape(2, B_, L, h)
+        return out if keep_pad else out[:, :, :L0]
     out = out[:, :L0] if L != L0 else out
     if stacked:
         out = out.reshape(M, B_, L0, h)
@@ -376,14 +490,11 @@ def _ssd_bwd_kernel(
             dt = jnp.clip(dt, dt_lo, dt_hi)
         dt_s[s] = dt
         dA = dt * A[0][None, :]
-        cs = jnp.dot(
-            trilf, dA, preferred_element_type=f32,
-            precision=lax.Precision.HIGHEST,
-        )
+        cs = _mdot(trilf, dA, cd)
         cs_s[s] = cs
         csT = jnp.transpose(cs)
         dt_exp = jnp.dot(
-            dt, E, preferred_element_type=f32, precision=lax.Precision.HIGHEST
+            dt, E, preferred_element_type=f32, precision=prec
         )
         xdt_c = (xssm * dt_exp).astype(cd)
         cb = lax.dot_general(
@@ -442,7 +553,7 @@ def _ssd_bwd_kernel(
         Bm = xbc[:, d : d + n]
         Cm = xbc[:, d + n :]
         dt_exp = jnp.dot(
-            dt, E, preferred_element_type=f32, precision=lax.Precision.HIGHEST
+            dt, E, preferred_element_type=f32, precision=prec
         )
         xdt = xssm * dt_exp
         cb = lax.dot_general(
@@ -481,7 +592,7 @@ def _ssd_bwd_kernel(
                 jnp.sum(g_y * xssm, axis=0, keepdims=True), ET,
                 preferred_element_type=f32, precision=lax.Precision.HIGHEST,
             ),
-        )
+        )  # M=1: HIGHEST is cost-free here
         g_xssm = D_exp * g_y
         g_y_c = g_y.astype(cd)
         xdt_cd = xdt.astype(cd)
@@ -520,15 +631,9 @@ def _ssd_bwd_kernel(
             preferred_element_type=f32, precision=prec,
         )
         g_xssm += dt_exp * g_xdt
-        g_dt = jnp.dot(
-            xssm * g_xdt, ET,
-            preferred_element_type=f32, precision=lax.Precision.HIGHEST,
-        )  # (L, H)
+        g_dt = _dotm(xssm * g_xdt, ET, cd)  # (L, H)
         # cs = tril @ dA  =>  g_dA = tril^T @ g_cs (reverse cumsum)
-        g_dA = lax.dot_general(
-            trilf, g_cs, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=lax.Precision.HIGHEST,
-        )
+        g_dA = _mdot(trilf, g_cs, cd, transpose_mask=True)
         g_dt += g_dA * A[0][None, :]
         _acc(gA_ref, jnp.sum(g_dA * dt, axis=0, keepdims=True))
         dtraw = xs[:, d + conv_dim :].astype(f32)
@@ -627,16 +732,18 @@ def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
         Lr=Lr,
     )
     A = -jnp.exp(A_log.astype(jnp.float32))
+    # big matmul weights pre-cast to compute dtype (see _launch)
     ops = (
-        in_w,
+        in_w.astype(x.dtype),
         jnp.swapaxes(conv_w.astype(jnp.float32), -1, -2),
         conv_b.astype(jnp.float32)[..., None, :],
         dt_bias.astype(jnp.float32)[..., None, :],
         A[..., None, :],
         D.astype(jnp.float32)[..., None, :],
         norm_w.astype(jnp.float32)[..., None, :],
-        out_w,
+        out_w.astype(x.dtype),
     )
+    P = P.astype(x.dtype)
     wshapes = (
         (h, dproj), (K, conv_dim), (1, conv_dim), (1, H), (1, H),
         (1, H), (1, d), (d, h),
@@ -800,3 +907,174 @@ def _dual_vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
 
 
 mamba2_dual_mixer_fused.defvjp(_dual_vjp_fwd, _dual_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Block-fused spiral path: the WHOLE SpiralMambaBlock as two Pallas calls
+# (dual mixer kernel with in-kernel prologue + one epilogue kernel), so a
+# block touches HBM only for its input and output.  Used on the inference
+# path; the backward recomputes through the mixer-kernel composition (which
+# itself has the hand-derived Pallas backward).
+# ---------------------------------------------------------------------------
+
+
+def _spiral_epilogue_kernel(
+    o_ref, x_ref, mods_ref, anw_ref, anb_ref, fc1_ref, fc1b_ref, fc2_ref,
+    fc2b_ref, out_ref, *, h, ln_eps=1e-5,
+):
+    """Learned branch mixing + gate-residual (block/mamba_block.py:89-95,
+    111-113): LN over the channel-concat of both branch outputs, a 2h->h
+    silu MLP, a sigmoid h->1 head, convex mix, then x + gate * mixed."""
+    cd = o_ref.dtype
+    prec = (
+        lax.Precision.HIGHEST if cd == jnp.float32 else lax.Precision.DEFAULT
+    )
+    o0 = o_ref[0, 0].astype(jnp.float32)  # (L, h)
+    o1 = o_ref[1, 0].astype(jnp.float32)
+    # LayerNorm over the virtual concat axis (2h), without materialising it
+    # at 2h width: stats decompose over the two halves.
+    ssum = jnp.sum(o0, axis=-1, keepdims=True) + jnp.sum(o1, axis=-1, keepdims=True)
+    mu = ssum / (2 * h)
+    c0 = o0 - mu
+    c1 = o1 - mu
+    var = (
+        jnp.sum(c0 * c0, axis=-1, keepdims=True)
+        + jnp.sum(c1 * c1, axis=-1, keepdims=True)
+    ) / (2 * h)
+    r = lax.rsqrt(var + ln_eps)
+    # (2, h): row 0 = first-half affine, row 1 = second-half (lane-offset
+    # slices of a (1, 2h) vector hit a Mosaic broadcast layout limitation)
+    n0 = (c0 * r * anw_ref[0:1] + anb_ref[0:1]).astype(cd)
+    n1 = (c1 * r * anw_ref[1:2] + anb_ref[1:2]).astype(cd)
+    fc1 = fc1_ref[...].astype(cd)  # (2h, h)
+    hmid = (
+        jnp.dot(n0, fc1[:h], preferred_element_type=jnp.float32, precision=prec)
+        + jnp.dot(n1, fc1[h:], preferred_element_type=jnp.float32, precision=prec)
+        + fc1b_ref[...]
+    )
+    hmid = _silu(hmid)
+    alpha = jax.nn.sigmoid(
+        jnp.dot(
+            hmid.astype(cd), fc2_ref[...].astype(cd),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        + fc2b_ref[...]
+    )  # (L, 1)
+    mixed = alpha * o0 + (1.0 - alpha) * o1
+    gate = mods_ref[0, 2:3]  # (1, h); see mods packing in _launch
+    out_ref[0] = (
+        x_ref[0].astype(jnp.float32) + gate * mixed
+    ).astype(out_ref.dtype)
+
+
+def _spiral_block_fwd_impl(
+    spec, x, wmask, shift, scale, gate, ln1w, ln1b, anw, anb, fc1w, fc1b,
+    fc2w, fc2b, weights, dt_limit, eps,
+):
+    B_, L0, h = x.shape
+    L = ((L0 + 7) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0))) if L != L0 else x
+    # shift/scale/gate packed into one sublane-legal (B, 8, h) operand
+    mods = jnp.zeros((B_, 8, h), jnp.float32)
+    mods = mods.at[:, 0].set(shift.astype(jnp.float32))
+    mods = mods.at[:, 1].set(scale.astype(jnp.float32))
+    mods = mods.at[:, 2].set(gate.astype(jnp.float32))
+    o = _launch(
+        spec, xp, weights, stacked=True, dt_limit=dt_limit, eps=eps,
+        prologue=(wmask, ln1w, ln1b, mods), keep_pad=True,
+    )  # (2, B, L, h) padded
+    kernel = functools.partial(_spiral_epilogue_kernel, h=h)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B_,),
+        in_specs=[
+            pl.BlockSpec((2, 1, L, h), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * h, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B_, L, h), x.dtype),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(
+        o, xp, mods,
+        anw.astype(jnp.float32).reshape(2, h),
+        anb.astype(jnp.float32).reshape(2, h),
+        fc1w, fc1b.astype(jnp.float32)[None, :], fc2w,
+        fc2b.astype(jnp.float32)[None, :],
+    )
+    return out[:, :L0] if L != L0 else out
+
+
+def _spiral_block_ref(
+    spec, x, wmask, shift, scale, gate, ln1w, ln1b, anw, anb, fc1w, fc1b,
+    fc2w, fc2b, weights, dt_limit, eps,
+):
+    """Differentiable reference composition of the same block math: jnp
+    prologue/epilogue around the dual mixer kernel (whose custom backward is
+    hand-derived Pallas).  The block custom_vjp recomputes through this."""
+    from diffma_tpu.ops.norm import layer_norm
+
+    cd = x.dtype
+    xln = layer_norm(x, ln1w, ln1b, eps=1e-5)
+    x_mod = xln * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    x12 = jnp.stack([x_mod, x_mod * wmask]).astype(cd)
+    o = mamba2_dual_mixer_fused(spec, x12, *weights, dt_limit, eps, 256)
+    o0, o1 = o[0], o[1]
+    combined = jnp.concatenate([o0, o1], axis=-1)
+    hmid = layer_norm(combined, anw, anb, eps=1e-5)
+    hmid = jnp.dot(hmid.astype(cd), fc1w.astype(cd)) + fc1b.astype(cd)
+    hmid = _silu(hmid)
+    alpha = jax.nn.sigmoid(
+        jnp.dot(hmid.astype(cd), fc2w.astype(cd)) + fc2b.astype(cd)
+    )
+    mixed = alpha * o0 + (1.0 - alpha) * o1
+    return x + gate[:, None, :] * mixed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 15, 16))
+def spiral_block_fused(
+    spec: ScanSpec, x, wmask, shift, scale, gate, ln1w, ln1b, anw, anb,
+    fc1w, fc1b, fc2w, fc2b, weights, dt_limit=(0.0, float("inf")), eps=1e-5,
+):
+    """The whole spiral block (LN -> modulate -> dual SSD mixers -> learned
+    branch mix -> gate-residual) as two Pallas calls.
+
+    ``weights`` is the dual-stacked Mamba2 weight tuple (leading axis 2).
+    Backward recomputes through :func:`_spiral_block_ref` (hand-derived
+    mixer backward inside), so gradients are exact but pay one extra
+    forward -- use on inference paths; training uses the mixer-level
+    fusion."""
+    return _spiral_block_fwd_impl(
+        spec, x, wmask, shift, scale, gate, ln1w, ln1b, anw, anb, fc1w,
+        fc1b, fc2w, fc2b, weights, dt_limit, eps,
+    )
+
+
+def _spiral_vjp_fwd(spec, *args):
+    *diff, dt_limit, eps = args
+    return (
+        _spiral_block_fwd_impl(spec, *diff, dt_limit, eps),
+        tuple(diff),
+    )
+
+
+def _spiral_vjp_bwd(spec, dt_limit, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _spiral_block_ref(spec, *a, dt_limit, eps), *res
+    )
+    return vjp(g)
+
+
+spiral_block_fused.defvjp(_spiral_vjp_fwd, _spiral_vjp_bwd)

@@ -235,3 +235,43 @@ def test_fused_composes_with_remat():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
         )
+
+
+def test_block_fused_spiral_matches_unfused():
+    """fuse_block=True (whole SpiralMambaBlock as two Pallas calls) must
+    match the mixer-fused path with the SAME param tree, fwd + grads."""
+    from diffma_tpu.models.blocks import SpiralMambaBlock
+
+    spec = build_scan_spec("spiral", 4, 0)
+    B, L, h = 2, 16, 64
+    kw = dict(hidden=h, d_state=16, use_mamba2=True, scan_impl="fused")
+    blk0 = SpiralMambaBlock(**kw)
+    blk1 = SpiralMambaBlock(**kw, fuse_block=True)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.normal(ks[0], (B, L, h))
+    c = jax.random.normal(ks[1], (B, 2 * h))
+    w = jax.nn.sigmoid(jax.random.normal(ks[2], (B, L, 1)))
+    params = blk0.init(ks[3], x, c, w, spec)
+    # break the adaLN-zero identity so the whole block participates
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(9), a.shape, a.dtype
+        ),
+        params,
+    )
+    want = blk0.apply(params, x, c, w, spec)
+    got = blk1.apply(params, x, c, w, spec)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(p, m):
+        return jnp.mean(jnp.square(m.apply(p, x, c, w, spec)))
+
+    g0 = jax.grad(loss)(params, blk0)
+    g1 = jax.grad(loss)(params, blk1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        scale = float(jnp.abs(np.asarray(a)).max()) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, rtol=2e-5, atol=2e-5
+        )
