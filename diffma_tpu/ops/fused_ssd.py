@@ -30,8 +30,10 @@ vmamba; Mamba2 never honours the Mamba1 vim feature-flip quirk, so vim
 takes the standard merge) AND the atrous partition (eff_vmamba), which
 runs each L/S sub-sequence as its own scan via a partition spec.
 Differentiation runs through a hand-derived backward
-kernel (``_ssd_bwd_kernel``): one Pallas call recomputes the forward and
-emits input + all weight gradients as closed-form matmul adjoints.
+kernel (``_ssd_bwd_kernel``): one Pallas call consumes two residual
+tensors saved by the forward (post-permute projection streams and the
+pre-norm SSD outputs), cheaply re-derives the rest (conv, dt, cumsum),
+and emits input + all weight gradients as closed-form matmul adjoints.
 """
 
 from __future__ import annotations
@@ -108,7 +110,7 @@ def _ssd_kernel(
     normw_ref, outw_ref, P_ref,
     *rest,
     L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, Lr=None,
-    prologue=False, nbatch=None, ln_eps=1e-5,
+    prologue=False, nbatch=None, ln_eps=1e-5, want_res=False,
 ):
     """One batch element: the whole SSD mixer with S unrolled streams.
 
@@ -126,6 +128,12 @@ def _ssd_kernel(
     if prologue:
         (wm_ref, lnw_ref, lnb_ref, mods_ref,
          out_ref, zxbuf, xbcbuf, csbuf, ybuf, accbuf) = rest
+    elif want_res:
+        # training entry: also emit the post-permute stream tensor and the
+        # pre-norm SSD output so the backward kernel can skip the in_proj /
+        # permute / head-loop recompute (see _ssd_bwd_kernel)
+        (out_ref, xsout_ref, ysout_ref,
+         zxbuf, xbcbuf, csbuf, ybuf, accbuf) = rest
     else:
         out_ref, zxbuf, xbcbuf, csbuf, ybuf, accbuf = rest
 
@@ -189,6 +197,8 @@ def _ssd_kernel(
                 Ps.astype(cd), zxbuf[...],
                 preferred_element_type=jnp.float32, precision=prec,
             ).astype(cd)  # (L, 2d + 2n + H)
+        if want_res:
+            xsout_ref[0, s] = xs
 
         z = xs[:, :d]
         xbc_in = xs[:, d : d + conv_dim].astype(jnp.float32)
@@ -246,6 +256,8 @@ def _ssd_kernel(
             )
 
         y = ybuf[...] + D_exp * xssm  # (L, d) fp32
+        if want_res:
+            ysout_ref[0, s] = y.astype(ysout_ref.dtype)
 
         # gated RMSNorm (gate first, single group spanning d:
         # block/mamba2.py:347-350 with norm_before_gate=False)
@@ -273,7 +285,7 @@ def _ssd_kernel(
 
 
 def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
-            keep_pad=False):
+            keep_pad=False, want_res=False):
     """Shared launcher.  ``x`` is (B, L0, h) or, stacked, (M, B, L0, h);
     weights are the Mamba2 param tuple, with a leading M axis when stacked.
 
@@ -316,11 +328,12 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
     dproj = in_w.shape[-1]
     K = conv_w.shape[-1]
 
+    assert not (want_res and prologue is not None)
     kernel = functools.partial(
         _ssd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
         scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
         dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), Lr=Lr,
-        prologue=prologue is not None, nbatch=B_,
+        prologue=prologue is not None, nbatch=B_, want_res=want_res,
     )
     # weight operands, reshaped to 2-D (or 3-D with the leading M axis).
     # The big matmul weights (in/out projections) and the one-hot P are
@@ -365,6 +378,24 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
             pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, h), xidx, memory_space=pltpu.VMEM),
         )
+    if want_res:
+        out_specs = [
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Lr, dproj), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Lr, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((G, L, h), x.dtype),
+            jax.ShapeDtypeStruct((G, S, Lr, dproj), x.dtype),
+            jax.ShapeDtypeStruct((G, S, Lr, d), x.dtype),
+        ]
+    else:
+        out_specs = pl.BlockSpec(
+            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((G, L, h), x.dtype)
     out = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -374,10 +405,8 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
             pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             *extra_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((G, L, h), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((L, dproj), x.dtype),  # zxbuf
             pltpu.VMEM((Lr, conv_dim), jnp.float32),  # xbcbuf
@@ -388,28 +417,37 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(x, *ops, P, *extra_ops)
+    if want_res:
+        out, xs_all, ys_all = out
     if prologue is not None:
         out = out.reshape(2, B_, L, h)
         return out if keep_pad else out[:, :, :L0]
     out = out[:, :L0] if L != L0 else out
     if stacked:
         out = out.reshape(M, B_, L0, h)
+    if want_res:
+        return out, xs_all, ys_all
     return out
 
 
 def _ssd_bwd_kernel(
     x_ref, g_ref, inw_ref, convw_ref, convb_ref, dtb_ref, A_ref, D_ref,
-    normw_ref, outw_ref, P_ref,
+    normw_ref, outw_ref, P_ref, xsres_ref, ysres_ref,
     gx_ref, gin_ref, gconvw_ref, gconvb_ref, gdtb_ref, gA_ref, gD_ref,
     gnormw_ref, goutw_ref,
-    zxbuf, xs_s, a_s, dt_s, cs_s, y_s, accbuf, gzx,
+    accbuf, gzx,
     *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, winit, Lr=None,
 ):
-    """Hand-derived backward for the fused SSD mixer: ONE Pallas call
-    recomputes the forward (cheap: the fwd is a minority of train time) and
-    emits input + all weight gradients.  The chunkless SSD backward is
-    closed-form matmuls -- mh^T @ g_y, g_y @ xdt^T, decay-weighted sums --
-    so, unlike Mamba-1, no sequential adjoint recurrence is needed.
+    """Hand-derived backward for the fused SSD mixer: ONE Pallas call that
+    consumes the forward kernel's residual outputs (``xsres`` = post-permute
+    projection streams, ``ysres`` = pre-norm SSD outputs) and emits input +
+    all weight gradients.  Reading the residuals skips recomputing in_proj,
+    the one-hot permute dots and the whole head loop + decay exps (~20% of
+    the kernel's matmul FLOPs at B/2 shapes for ~2.6 MB/elem extra HBM);
+    conv / dt / the cumsum are recomputed from xs, which is cheaper than
+    storing them.  The chunkless SSD backward is closed-form matmuls --
+    mh^T @ g_y, g_y @ xdt^T, decay-weighted sums -- so, unlike Mamba-1, no
+    sequential adjoint recurrence is needed.
 
     Weight-grad outputs use constant (per-mixer) index maps and accumulate
     across the sequential grid; they are zeroed when a new weight set first
@@ -455,21 +493,17 @@ def _ssd_bwd_kernel(
     clip = dt_lo > 0.0 or dt_hi != float("inf")
 
     x = x_ref[0]
-    zxbuf[...] = jnp.dot(
-        x, inw.astype(cd), preferred_element_type=f32, precision=prec
-    ).astype(cd)
+    g = g_ref[0].astype(f32)  # (L, h)
+    g_merged = lax.dot_general(
+        g.astype(cd), outw.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )  # (L, d) = g @ out_w^T
     accbuf[...] = jnp.zeros_like(accbuf)
+    gzx[...] = jnp.zeros_like(gzx)
 
-    # ---- recompute phase (same math as the forward kernel) ---------------
+    # ---- single pass: cheap recompute from residuals + adjoint ----------
     for s in range(S):
-        if ident[s]:
-            xs = zxbuf[...]
-        else:
-            xs = jnp.dot(
-                P_ref[s].astype(cd), zxbuf[...],
-                preferred_element_type=f32, precision=prec,
-            ).astype(cd)
-        xs_s[s] = xs
+        xs = xsres_ref[0, s]  # (Lr, dproj) cd, post-permute
         xbc_in = xs[:, d : d + conv_dim].astype(f32)
         acc = xbc_in * convw[K - 1][None, :]
         for k in range(K - 1):
@@ -479,7 +513,6 @@ def _ssd_bwd_kernel(
             )
             acc = acc + shifted * convw[k][None, :]
         a = acc + convb[0][None, :]
-        a_s[s] = a
         xbc = _silu(a)
         xssm = xbc[:, :d]
         Bm = xbc[:, d : d + n]
@@ -488,70 +521,9 @@ def _ssd_bwd_kernel(
         dt = jax.nn.softplus(dtraw + dtb[0][None, :])
         if clip:
             dt = jnp.clip(dt, dt_lo, dt_hi)
-        dt_s[s] = dt
         dA = dt * A[0][None, :]
         cs = _mdot(trilf, dA, cd)
-        cs_s[s] = cs
         csT = jnp.transpose(cs)
-        dt_exp = jnp.dot(
-            dt, E, preferred_element_type=f32, precision=prec
-        )
-        xdt_c = (xssm * dt_exp).astype(cd)
-        cb = lax.dot_general(
-            Cm, Bm, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=prec,
-        )
-        ys = []
-        for h in range(H):
-            diff = cs[:, h : h + 1] - csT[h : h + 1, :] + neg
-            mh = cb * jnp.exp(diff)
-            ys.append(
-                jnp.dot(
-                    mh.astype(cd), xdt_c[:, h * hd : (h + 1) * hd],
-                    preferred_element_type=f32, precision=prec,
-                )
-            )
-        y = jnp.concatenate(ys, axis=1) + D_exp * xssm
-        y_s[s] = y
-        z = xs[:, :d].astype(f32)
-        yg = y * _silu(z)
-        rms = lax.rsqrt(jnp.mean(jnp.square(yg), axis=-1, keepdims=True) + eps)
-        yn = yg * rms * normw[0][None, :]
-        if ident[s]:
-            accbuf[...] += yn
-        else:
-            accbuf[...] += lax.dot_general(
-                P_ref[s].astype(cd), yn.astype(cd), (((0,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec,
-            )
-    merged = accbuf[...] * scale  # (L, d) fp32
-
-    # ---- backward phase --------------------------------------------------
-    g = g_ref[0].astype(f32)  # (L, h)
-    _acc(
-        goutw_ref,
-        lax.dot_general(
-            merged.astype(cd), g.astype(cd), (((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=prec,
-        ),
-    )
-    g_merged = lax.dot_general(
-        g.astype(cd), outw.astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=f32, precision=prec,
-    )  # (L, d) = g @ out_w^T
-
-    gzx[...] = jnp.zeros_like(gzx)
-    for s in range(S):
-        xs = xs_s[s]
-        a = a_s[s]
-        dt = dt_s[s]
-        cs = cs_s[s]
-        y = y_s[s]
-        csT = jnp.transpose(cs)
-        xbc = _silu(a)
-        xssm = xbc[:, :d]
-        Bm = xbc[:, d : d + n]
-        Cm = xbc[:, d + n :]
         dt_exp = jnp.dot(
             dt, E, preferred_element_type=f32, precision=prec
         )
@@ -560,12 +532,22 @@ def _ssd_bwd_kernel(
             Cm, Bm, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=prec,
         )
+        y = ysres_ref[0, s].astype(f32)  # (Lr, d) pre-norm SSD output
         z = xs[:, :d].astype(f32)
         sgz = jax.nn.sigmoid(z)
         silz = z * sgz
         dsilz = sgz * (1.0 + z * (1.0 - sgz))
         yg = y * silz
         rms = lax.rsqrt(jnp.mean(jnp.square(yg), axis=-1, keepdims=True) + eps)
+        # forward-side merge contribution (merged is needed for g_out_w)
+        yn = yg * rms * normw[0][None, :]
+        if ident[s]:
+            accbuf[...] += yn
+        else:
+            accbuf[...] += lax.dot_general(
+                P_ref[s].astype(cd), yn.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )
 
         if ident[s]:
             g_yn = g_merged * scale
@@ -674,6 +656,14 @@ def _ssd_bwd_kernel(
                 preferred_element_type=f32, precision=prec,
             )  # P^T @ g_xs
 
+    merged = accbuf[...] * scale  # (L, d) fp32
+    _acc(
+        goutw_ref,
+        lax.dot_general(
+            merged.astype(cd), g.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        ),
+    )
     gzxv = gzx[...]
     _acc(
         gin_ref,
@@ -689,9 +679,11 @@ def _ssd_bwd_kernel(
     gx_ref[0] = gx.astype(gx_ref.dtype)
 
 
-def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
-    """Backward launcher mirroring ``_launch``; returns cotangents for
+def _launch_bwd(spec, x, g, weights, residuals, *, stacked, dt_limit, eps):
+    """Backward launcher mirroring ``_launch``; consumes the forward's
+    residual outputs (xs_all, ys_all) and returns cotangents for
     (x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w)."""
+    xs_all, ys_all = residuals
     in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w = weights
     if stacked:
         M, B_, L0, h = x.shape
@@ -761,6 +753,10 @@ def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
             pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *wspecs,
             pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Lr, dproj), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Lr, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -776,18 +772,12 @@ def _launch_bwd(spec, x, g, weights, *, stacked, dt_limit, eps):
             ],
         ],
         scratch_shapes=[
-            pltpu.VMEM((L, dproj), x.dtype),  # zxbuf
-            pltpu.VMEM((S, Lr, dproj), x.dtype),  # xs_s
-            pltpu.VMEM((S, Lr, conv_dim), jnp.float32),  # a_s
-            pltpu.VMEM((S, Lr, H), jnp.float32),  # dt_s
-            pltpu.VMEM((S, Lr, H), jnp.float32),  # cs_s
-            pltpu.VMEM((S, Lr, d), jnp.float32),  # y_s
             pltpu.VMEM((L, d), jnp.float32),  # accbuf
             pltpu.VMEM((L, dproj), jnp.float32),  # gzx
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(x, g.astype(x.dtype), *ops, P)
+    )(x, g.astype(x.dtype), *ops, P, xs_all, ys_all)
     gx, gin, gconvw, gconvb, gdtb, gA, gD, gnormw, goutw = outs
     gx = gx[:, :L0] if L != L0 else gx
     if stacked:
@@ -850,7 +840,8 @@ def mamba2_mixer_fused(
     """Whole SSD mixer in one kernel: ``x (B, L, h) -> (B, L, h)``.
 
     ``spec`` must satisfy ``mixer_fused_eligible``.  Weight layouts match
-    the Flax params.  Backward recomputes through the composable path."""
+    the Flax params.  Backward runs the hand-derived ``_ssd_bwd_kernel``
+    over residuals saved by the forward kernel."""
     return _launch(
         spec, x, (in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w),
         stacked=False, dt_limit=dt_limit, eps=eps,
@@ -859,16 +850,17 @@ def mamba2_mixer_fused(
 
 def _vjp_fwd(spec, *args):
     *ws, dt_limit, eps, chunk_size = args
-    return (
-        _launch(spec, ws[0], tuple(ws[1:]), stacked=False,
-                dt_limit=dt_limit, eps=eps),
-        tuple(ws),
+    out, xs_all, ys_all = _launch(
+        spec, ws[0], tuple(ws[1:]), stacked=False,
+        dt_limit=dt_limit, eps=eps, want_res=True,
     )
+    return out, (tuple(ws), xs_all, ys_all)
 
 
 def _vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
+    ws, xs_all, ys_all = res
     return _launch_bwd(
-        spec, res[0], g, tuple(res[1:]), stacked=False,
+        spec, ws[0], g, tuple(ws[1:]), (xs_all, ys_all), stacked=False,
         dt_limit=dt_limit, eps=eps,
     )
 
@@ -892,16 +884,17 @@ def mamba2_dual_mixer_fused(
 
 def _dual_vjp_fwd(spec, *args):
     *ws, dt_limit, eps, chunk_size = args
-    return (
-        _launch(spec, ws[0], tuple(ws[1:]), stacked=True,
-                dt_limit=dt_limit, eps=eps),
-        tuple(ws),
+    out, xs_all, ys_all = _launch(
+        spec, ws[0], tuple(ws[1:]), stacked=True,
+        dt_limit=dt_limit, eps=eps, want_res=True,
     )
+    return out, (tuple(ws), xs_all, ys_all)
 
 
 def _dual_vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
+    ws, xs_all, ys_all = res
     return _launch_bwd(
-        spec, res[0], g, tuple(res[1:]), stacked=True,
+        spec, ws[0], g, tuple(ws[1:]), (xs_all, ys_all), stacked=True,
         dt_limit=dt_limit, eps=eps,
     )
 

@@ -5,7 +5,9 @@ device-side:
 
 * hybrid diffusion loss, mean over the batch (train.py:247-249);
 * NaN-loss skip: a non-finite loss leaves state untouched and does not count
-  a step (train.py:254-256 ``continue``) -- expressed with ``lax.cond``;
+  a step (train.py:254-256 ``continue``) -- expressed with ``lax.cond`` in
+  the accumulating path and with predicated ``jnp.where`` masking in the
+  ``accumulation_steps == 1`` fast path (same semantics, no branch copies);
 * gradient accumulation with the reference's quirks kept deliberately:
   the loss is NOT divided by accumulation_steps, and the optimizer fires on
   iterations where the *pre-increment* step counter satisfies
@@ -64,6 +66,38 @@ def make_train_step(
 ):
     """Build the jitted step.  ``loss_fn(params, batch, rng) -> scalar``."""
 
+    def train_step_predicated(state: TrainState, batch, rng):
+        """accumulation_steps == 1 fast path: the NaN-skip and the update
+        are predicated with ``jnp.where`` instead of ``lax.cond``.  The two
+        nested conds cost ~4 ms/step at B/2 bs64 on a v5e (xprof: the
+        untaken identity branch still copies the whole param/opt tree);
+        the where-form runs the optimizer unconditionally and masks the
+        result, which XLA fuses into the update loop.  Semantics identical:
+        a non-finite loss leaves params/EMA/opt state/step untouched
+        (grads are zeroed before they reach the optimizer, so NaNs never
+        poison m/v even transiently)."""
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        finite = jnp.isfinite(loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = update_ema(state.ema_params, new_params, ema_decay)
+
+        def keep_old(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+
+        return TrainState(
+            step=state.step + finite.astype(state.step.dtype),
+            params=keep_old(new_params, state.params),
+            ema_params=keep_old(new_ema, state.ema_params),
+            opt_state=keep_old(new_opt, state.opt_state),
+            accum_grads=state.accum_grads,
+        ), {"loss": loss, "finite": finite, **aux}
+
     def train_step(state: TrainState, batch, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
@@ -98,4 +132,6 @@ def make_train_step(
         new_state = jax.lax.cond(finite, do_apply, lambda s: s, state)
         return new_state, {"loss": loss, "finite": finite, **aux}
 
+    if accumulation_steps == 1:
+        return train_step_predicated
     return train_step
