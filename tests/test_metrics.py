@@ -64,3 +64,54 @@ def test_quality_report_shape_check():
     assert set(r) == {"psnr_db", "ssim"}
     with pytest.raises(ValueError):
         ssim(x, x[..., :16])
+
+
+def test_compute_metrics_cli(tmp_path):
+    """tools/compute_metrics.py pairs the sampling pipeline's grid files and
+    reports per-item + mean PSNR/SSIM (the authors' offline ssim.py/psnr.py
+    workflow, /root/reference/.gitignore:23-31, committed here)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import compute_metrics
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    base = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(np.int32) + rng.integers(-12, 12, base.shape), 0, 255
+    ).astype(np.uint8)
+    for i in range(2):
+        Image.fromarray(base).save(tmp_path / f"{i}_sample_ori.png")
+        Image.fromarray(noisy).save(tmp_path / f"{i}_sample_gen.png")
+    out = tmp_path / "report.json"
+    rc = compute_metrics.main([str(tmp_path), "--json", str(out)])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["n"] == 2
+    assert 20 < report["psnr_db_mean"] < 45
+    assert 0.0 < report["ssim_mean"] <= 1.0
+
+    # two-directory pairing by basename
+    gen_d, ref_d = tmp_path / "gen", tmp_path / "ref"
+    gen_d.mkdir(), ref_d.mkdir()
+    np.save(gen_d / "a.npy", np.zeros((1, 16, 16)))
+    np.save(ref_d / "a.npy", np.zeros((1, 16, 16)) + 0.01)
+    assert compute_metrics.main([str(gen_d), str(ref_d)]) == 0
+
+
+def test_compute_gflops_cli(capsys):
+    """tools/compute_gflops.py analytic path (the compute_gflot.py analog)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import compute_gflops
+
+    rc = compute_gflops.main(["--model", "DiffMa-S/2", "--image-size", "64"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["tokens"] == 16 and report["depth"] == 4
+    assert report["analytic_fwd_gflops_per_image"] > 0
