@@ -33,6 +33,7 @@ the scan-free pre-scan segment.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,7 @@ from diffma_tpu.ops.scan_orders import ScanSpec
 from diffma_tpu.ops.selective_scan import (
     _CHUNK,
     _COMPILER_PARAMS,
+    _dsilu,
     _interpret,
     _selective_scan_pallas_bwd_impl,
     _silu,
@@ -552,6 +554,411 @@ def _manual_bwd(
     )
 
 
+def _mixer_bwd_kernel(
+    # inputs
+    x_ref, g_ref, inw_ref, convw_ref, convb_ref, xpw_ref, dtw_ref, dtb_ref,
+    AT_ref, D_ref, outw_ref, P_ref,
+    # outputs
+    gx_ref, gin_ref, gconvw_ref, gconvb_ref, gxpw_ref, gdtw_ref, gdtb_ref,
+    gA_ref, gD_ref, goutw_ref,
+    # scratch
+    xz, xsb, ub, preb, drawb, dts, xdbb, gpb, gyb, ysc, dub, ddb, dBb, dCb,
+    dxsb, dxzacc, abuf, bbuf, hbuf, gbuf, tbuf, ckpt, dacc,
+    *, L, Q, d, r, n, S, scale, ident, winit, Lr=None,
+):
+    """Monolithic backward for the fused Mamba1 mixer: ONE Pallas call per
+    batch element that recomputes the forward from x + weights entirely in
+    VMEM (in_proj, one-hot permutes, conv, projections, the chunked scan
+    with per-chunk checkpoints) and emits the input gradient plus ALL weight
+    gradients.  Replaces the decomposed VJP's three HBM round-trips (XLA
+    ``_pre_scan`` recompute -> standalone Pallas scan backward -> XLA
+    adjoint matmuls), which materialised every intermediate -- u, delta,
+    B, C, z, g_y, du, ddelta, dB, dC, dz, ~150 MB/step at B/2 shapes --
+    between kernels.  The scan adjoint itself is the same chunked
+    checkpoint-recompute reverse sweep as ops/selective_scan._bwd_kernel.
+
+    Weight-grad outputs use constant (per-mixer) index maps and accumulate
+    across the sequential grid; they are zeroed when a new weight set first
+    appears (``i % winit == 0``) -- same idiom as fused_ssd._ssd_bwd_kernel.
+    """
+
+    def _w(ref):
+        return ref[0] if ref.ndim == 3 else ref[...]
+
+    def _acc(ref, val):
+        ref[...] += val[None] if ref.ndim == val.ndim + 1 else val
+
+    cd = x_ref.dtype
+    f32 = jnp.float32
+    prec = (
+        lax.Precision.HIGHEST if cd == jnp.float32 else lax.Precision.DEFAULT
+    )
+    i = pl.program_id(0)
+
+    @pl.when(i % winit == 0)
+    def _init():
+        for rf in (gin_ref, gconvw_ref, gconvb_ref, gxpw_ref, gdtw_ref,
+                   gdtb_ref, gA_ref, gD_ref, goutw_ref):
+            rf[...] = jnp.zeros_like(rf)
+
+    inw, convb = _w(inw_ref), _w(convb_ref)
+    convw = _w(convw_ref)  # (K, d) fp32
+    xpw, dtw, dtb = _w(xpw_ref), _w(dtw_ref), _w(dtb_ref)
+    AT, Dw, outw = _w(AT_ref), _w(D_ref), _w(outw_ref)
+    K = convw.shape[0]
+    Lr = L if Lr is None else Lr  # per-stream rows (partition: padded Ls)
+    nq = Lr // Q
+
+    x = x_ref[0]  # (L, h) cd, zero pad rows
+    g = g_ref[0]  # (L, h) cd, zero pad rows (so pad-row adjoints vanish)
+    xz[...] = jnp.dot(
+        x, inw, preferred_element_type=f32, precision=prec
+    ).astype(cd)
+    dxzacc[...] = jnp.zeros_like(dxzacc)
+
+    for s in range(S):
+        Ps = P_ref[s]  # (Lr, L) one-hot, zero pad rows
+        # ---- forward recompute of the scan-free segment (MXU, in VMEM) ----
+        if ident[s]:
+            xsb[...] = xz[...]
+        else:
+            xsb[...] = jnp.dot(
+                Ps, xz[...], preferred_element_type=f32, precision=prec
+            ).astype(cd)
+        u0 = xsb[:, :d].astype(f32)
+        accv = u0 * convw[K - 1][None, :]
+        for k in range(K - 1):
+            sh = K - 1 - k
+            shifted = jnp.concatenate(
+                [jnp.zeros((sh, d), f32), u0[: Lr - sh]], axis=0
+            )
+            accv = accv + shifted * convw[k][None, :]
+        preb[...] = accv + convb[0][None, :]
+        ub[...] = _silu(preb[...])
+        xdbb[...] = jnp.dot(
+            ub[...].astype(cd), xpw, preferred_element_type=f32,
+            precision=prec,
+        )  # (Lr, r + 2n)
+        drawb[...] = (
+            jnp.dot(
+                xdbb[:, :r].astype(cd), dtw, preferred_element_type=f32,
+                precision=prec,
+            )
+            + dtb[0][None, :]
+        )
+        dts[...] = jax.nn.softplus(drawb[...])
+
+        # ---- incoming gradient for this stream ---------------------------
+        # g_y = scale * P_s @ (g @ out_w^T); permuting g first keeps the
+        # one-hot selection exact and yields gp for the out_w grad below.
+        if ident[s]:
+            gpb[...] = g
+        else:
+            gpb[...] = jnp.dot(
+                Ps, g, preferred_element_type=f32, precision=prec
+            ).astype(cd)
+        gyb[...] = (
+            lax.dot_general(
+                gpb[...], outw, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )
+            * scale
+        )  # (Lr, d)
+
+        # ---- phase 1: forward scan recompute w/ chunk checkpoints --------
+        def fwd_chunk(c, h):
+            so = pl.multiple_of(c * Q, Q)
+            ckpt[c] = h
+            dtq = dts[pl.ds(so, Q), :]
+            uq = ub[pl.ds(so, Q), :]
+            Bq = xdbb[pl.ds(so, Q), r : r + n]
+            abuf[...] = jnp.exp(dtq[:, None, :] * AT[None])
+            bbuf[...] = Bq[:, :, None] * (dtq * uq)[:, None, :]
+
+            def step(t, h):
+                h = abuf[t] * h + bbuf[t]
+                hbuf[t] = h
+                return h
+
+            h = lax.fori_loop(0, Q, step, h)
+            Cq = xdbb[pl.ds(so, Q), r + n :]
+            ysc[pl.ds(so, Q), :] = jnp.sum(hbuf[...] * Cq[:, :, None], axis=1)
+            return h
+
+        lax.fori_loop(0, nq, fwd_chunk, jnp.zeros((n, d), f32))
+
+        # ---- gating epilogue adjoints (vectorised) ------------------------
+        y = ysc[...] + ub[...] * Dw[0][None, :]
+        zv = xsb[:, d:].astype(f32)
+        silz = _silu(zv)
+        dxsb[:, d:] = gyb[...] * y * _dsilu(zv)  # dz
+        yg = y * silz
+        gow = lax.dot_general(
+            yg.astype(cd), gpb[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        _acc(goutw_ref, gow * scale)
+        gyb[...] = gyb[...] * silz  # dyv
+        _acc(gD_ref, jnp.sum(gyb[...] * ub[...], axis=0)[None, :])
+        dub[...] = gyb[...] * Dw[0][None, :]  # D-skip; phase 2 adds the rest
+        dacc[...] = jnp.zeros_like(dacc)
+
+        # ---- phase 2: reverse sweep over chunks ---------------------------
+        def bwd_chunk(ci, carry):
+            c = nq - 1 - ci
+            so = pl.multiple_of(c * Q, Q)
+            dtq = dts[pl.ds(so, Q), :]
+            uq = ub[pl.ds(so, Q), :]
+            Bq = xdbb[pl.ds(so, Q), r : r + n]
+            Cq = xdbb[pl.ds(so, Q), r + n :]
+            dyq = gyb[pl.ds(so, Q), :]
+            abuf[...] = jnp.exp(dtq[:, None, :] * AT[None])
+            tbuf[...] = Bq[:, :, None] * uq[:, None, :]
+            bbuf[...] = tbuf[...] * dtq[:, None, :]
+
+            def fstep(t, h):
+                h = abuf[t] * h + bbuf[t]
+                hbuf[t] = h
+                return h
+
+            lax.fori_loop(0, Q, fstep, ckpt[c])
+            bbuf[...] = Cq[:, :, None] * dyq[:, None, :]
+
+            def gstep(k, carry):
+                t = Q - 1 - k
+                gv = bbuf[t] + carry
+                gbuf[t] = gv
+                return abuf[t] * gv
+
+            carry = lax.fori_loop(0, Q, gstep, carry)
+
+            g_all = gbuf[...]
+            h_all = hbuf[...]
+            h_prev = jnp.concatenate([ckpt[c][None], h_all[:-1]], axis=0)
+            dCb[pl.ds(so, Q), :] = jnp.sum(h_all * dyq[:, None, :], axis=2)
+            dBb[pl.ds(so, Q), :] = jnp.sum(
+                g_all * (dtq * uq)[:, None, :], axis=2
+            )
+            gha = g_all * h_prev * abuf[...]
+            dacc[...] += jnp.sum(gha * dtq[:, None, :], axis=0)
+            ddt = jnp.sum(gha * AT[None], axis=1) + jnp.sum(
+                g_all * tbuf[...], axis=1
+            )
+            sig = jax.nn.sigmoid(drawb[pl.ds(so, Q), :])
+            ddb[pl.ds(so, Q), :] = ddt * sig
+            dub[pl.ds(so, Q), :] += dtq * jnp.sum(
+                g_all * Bq[:, :, None], axis=1
+            )
+            return carry
+
+        lax.fori_loop(0, nq, bwd_chunk, jnp.zeros((n, d), f32))
+        _acc(gA_ref, dacc[...])
+
+        # ---- pre-scan adjoints (MXU, in VMEM) -----------------------------
+        _acc(
+            gdtw_ref,
+            lax.dot_general(
+                xdbb[:, :r].astype(cd), ddb[...].astype(cd),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            ),
+        )
+        _acc(gdtb_ref, jnp.sum(ddb[...], axis=0)[None, :])
+        d_dtr = lax.dot_general(
+            ddb[...].astype(cd), dtw, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )  # (Lr, r)
+        xdbb[...] = jnp.concatenate([d_dtr, dBb[...], dCb[...]], axis=1)
+        _acc(
+            gxpw_ref,
+            lax.dot_general(
+                ub[...].astype(cd), xdbb[...].astype(cd),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            ),
+        )
+        du_total = dub[...] + lax.dot_general(
+            xdbb[...].astype(cd), xpw, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        dpre = du_total * _dsilu(preb[...])
+        _acc(gconvb_ref, jnp.sum(dpre, axis=0)[None, :])
+        du0 = convw[K - 1][None, :] * dpre
+        gcw = [None] * K
+        for k in range(K - 1):
+            sh = K - 1 - k
+            u0s = jnp.concatenate(
+                [jnp.zeros((sh, d), f32), u0[: Lr - sh]], axis=0
+            )
+            gcw[k] = jnp.sum(u0s * dpre, axis=0)
+            dpres = jnp.concatenate(
+                [dpre[sh:], jnp.zeros((sh, d), f32)], axis=0
+            )
+            du0 = du0 + convw[k][None, :] * dpres
+        gcw[K - 1] = jnp.sum(u0 * dpre, axis=0)
+        _acc(gconvw_ref, jnp.stack(gcw))
+        dxsb[:, :d] = du0
+        if ident[s]:
+            dxzacc[...] += dxsb[...]
+        else:
+            dxzacc[...] += lax.dot_general(
+                Ps, dxsb[...].astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )
+
+    _acc(
+        gin_ref,
+        lax.dot_general(
+            x, dxzacc[...].astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        ),
+    )
+    gx_ref[0] = lax.dot_general(
+        dxzacc[...].astype(cd), inw, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    ).astype(gx_ref.dtype)
+
+
+def _monolithic_bwd(spec, x, g, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D,
+                    out_w, *, stacked=False):
+    """Launcher for the monolithic backward.  ``x``/``g`` are (B, L0, h) or,
+    stacked, (M, B, L0, h) with weights carrying a leading M axis.  Returns
+    cotangents in the primal argument order."""
+    if stacked:
+        M, B_, L0, h = x.shape
+        G = M * B_
+        x = x.reshape(G, L0, h)
+        g = g.reshape(G, L0, h)
+        m_of = lambda i: i // B_  # noqa: E731
+        lead = lambda shape: (1,) + shape  # noqa: E731
+        widx = lambda i: (m_of(i), 0, 0)  # noqa: E731
+        glead = lambda shape: (M,) + shape  # noqa: E731
+        winit = B_
+        d = A.shape[1]
+        n = A.shape[2]
+        r = dt_w.shape[1]
+    else:
+        B_, L0, h = x.shape
+        G = B_
+        lead = lambda shape: shape  # noqa: E731
+        widx = lambda i: (0, 0)  # noqa: E731
+        glead = lambda shape: shape  # noqa: E731
+        winit = G
+        d = A.shape[0]
+        n = A.shape[1]
+        r = dt_w.shape[0]
+    r2n = r + 2 * n
+    K = conv_w.shape[-1]
+    S, Ls = spec.fwd.shape
+    Q = _CHUNK
+    # L and the per-stream row count must be chunk multiples for the
+    # checkpointed reverse sweep; pads are benign (g pad rows are zero, so
+    # every pad-row adjoint vanishes -- see the kernel docstring).
+    L = ((L0 + Q - 1) // Q) * Q
+    Lr = L if Ls == spec.seq_len else ((Ls + Q - 1) // Q) * Q
+    if L != L0:
+        x = jnp.pad(x, ((0, 0), (0, L - L0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, L - L0), (0, 0)))
+    P = jnp.asarray(_perm_matrices(spec, L, Lr)).astype(x.dtype)
+    nq = Lr // Q
+
+    kernel = functools.partial(
+        _mixer_bwd_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S,
+        scale=float(spec.scale), ident=_identity_streams(spec), winit=winit,
+        Lr=Lr,
+    )
+    cd = x.dtype
+    AT = (
+        jnp.transpose(A.astype(jnp.float32), (0, 2, 1))
+        if stacked
+        else jnp.transpose(A.astype(jnp.float32))
+    )
+    ops = (
+        in_w.astype(cd),
+        jnp.swapaxes(conv_w.astype(jnp.float32), -1, -2),  # (.., K, d)
+        conv_b.astype(jnp.float32)[..., None, :],
+        xp_w.astype(cd),
+        dt_w.astype(cd),
+        dt_b.astype(jnp.float32)[..., None, :],
+        AT,
+        D.astype(jnp.float32)[..., None, :],
+        out_w.astype(cd),
+    )
+    wshapes = (
+        (h, 2 * d), (K, d), (1, d), (d, r2n), (r, d), (1, d), (n, d),
+        (1, d), (d, h),
+    )
+    wspecs = [
+        pl.BlockSpec(lead(s), widx, memory_space=pltpu.VMEM) for s in wshapes
+    ]
+    gshapes = ((h, 2 * d), (K, d), (1, d), (d, r2n), (r, d), (1, d),
+               (n, d), (1, d), (d, h))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *wspecs,
+            pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec(lead(s), widx, memory_space=pltpu.VMEM)
+                for s in gshapes
+            ],
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, L, h), cd),
+            *[jax.ShapeDtypeStruct(glead(s), jnp.float32) for s in gshapes],
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, 2 * d), cd),  # xz
+            pltpu.VMEM((Lr, 2 * d), cd),  # xsb
+            pltpu.VMEM((Lr, d), jnp.float32),  # ub
+            pltpu.VMEM((Lr, d), jnp.float32),  # preb
+            pltpu.VMEM((Lr, d), jnp.float32),  # drawb
+            pltpu.VMEM((Lr, d), jnp.float32),  # dts
+            pltpu.VMEM((Lr, r2n), jnp.float32),  # xdbb
+            pltpu.VMEM((Lr, h), cd),  # gpb
+            pltpu.VMEM((Lr, d), jnp.float32),  # gyb
+            pltpu.VMEM((Lr, d), jnp.float32),  # ysc
+            pltpu.VMEM((Lr, d), jnp.float32),  # dub
+            pltpu.VMEM((Lr, d), jnp.float32),  # ddb
+            pltpu.VMEM((Lr, n), jnp.float32),  # dBb
+            pltpu.VMEM((Lr, n), jnp.float32),  # dCb
+            pltpu.VMEM((Lr, 2 * d), jnp.float32),  # dxsb
+            pltpu.VMEM((L, 2 * d), jnp.float32),  # dxzacc
+            pltpu.VMEM((Q, n, d), jnp.float32),  # abuf
+            pltpu.VMEM((Q, n, d), jnp.float32),  # bbuf
+            pltpu.VMEM((Q, n, d), jnp.float32),  # hbuf
+            pltpu.VMEM((Q, n, d), jnp.float32),  # gbuf
+            pltpu.VMEM((Q, n, d), jnp.float32),  # tbuf
+            pltpu.VMEM((nq, n, d), jnp.float32),  # ckpt
+            pltpu.VMEM((n, d), jnp.float32),  # dacc
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, g.astype(cd), *ops, P)
+    gx, gin, gconvw, gconvb, gxpw, gdtw, gdtb, gA, gD, goutw = outs
+    gx = gx[:, :L0] if L != L0 else gx
+    if stacked:
+        gx = gx.reshape(-1, B_, L0, h)
+    return (
+        gx,
+        gin.astype(in_w.dtype),
+        jnp.swapaxes(gconvw, -1, -2).astype(conv_w.dtype),
+        gconvb[..., 0, :].astype(conv_b.dtype),
+        gxpw.astype(xp_w.dtype),
+        gdtw.astype(dt_w.dtype),
+        gdtb[..., 0, :].astype(dt_b.dtype),
+        jnp.swapaxes(gA, -1, -2).astype(A.dtype),
+        gD[..., 0, :].astype(D.dtype),
+        goutw.astype(out_w.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def mamba_dual_mixer_fused(spec: ScanSpec, x12, *stacked):
     """Dual-branch fused mixer: ``x12 (2, B, L, h)`` + weights stacked on a
@@ -559,12 +966,22 @@ def mamba_dual_mixer_fused(spec: ScanSpec, x12, *stacked):
     return _dual_fwd_impl(spec, x12, *stacked)
 
 
+def _use_monolithic_bwd() -> bool:
+    """Escape hatch for A/B perf probes: DIFFMA_MIXER_BWD=decomposed routes
+    the backward through the round-2 decomposed VJP (``_manual_bwd``)."""
+    return os.environ.get("DIFFMA_MIXER_BWD", "monolithic") != "decomposed"
+
+
 def _dual_vjp_fwd(spec, x12, *stacked):
+    if _use_monolithic_bwd():
+        return _dual_fwd_impl(spec, x12, *stacked), (x12,) + stacked
     out, merged = _dual_fwd_impl(spec, x12, *stacked, want_merged=True)
     return out, (x12,) + stacked + (merged,)
 
 
 def _dual_vjp_bwd(spec, res, g):
+    if len(res) == 10:  # monolithic: (x12,) + 9 weight tensors
+        return _monolithic_bwd(spec, res[0], g, *res[1:], stacked=True)
     x12, merged = res[0], res[-1]
     stacked = res[1:-1]
     grads = [
@@ -594,11 +1011,18 @@ def mamba_mixer_fused(
 
 
 def _vjp_fwd(spec, *args):
-    out, merged = _fwd_impl(spec, *args, want_merged=True)
-    return out, args + (merged,)
+    # The 'vim' quirk (per-stream out_proj on a flipped W) keeps the
+    # decomposed backward; everything else takes the monolithic kernel and
+    # needs no residual beyond the primal inputs.
+    if spec.mamba1_vim_quirk or not _use_monolithic_bwd():
+        out, merged = _fwd_impl(spec, *args, want_merged=True)
+        return out, args + (merged,)
+    return _fwd_impl(spec, *args), args
 
 
 def _vjp_bwd(spec, res, g):
+    if len(res) == 10:  # monolithic: (x,) + 9 weight tensors
+        return _monolithic_bwd(spec, res[0], g, *res[1:])
     return _manual_bwd(spec, *res, g)
 
 

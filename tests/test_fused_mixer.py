@@ -70,6 +70,34 @@ def test_unpadded_length():
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
+def test_monolithic_bwd_matches_decomposed(monkeypatch):
+    """The monolithic backward kernel (one Pallas call: in-VMEM forward
+    recompute + scan adjoint + all weight grads) must agree with the
+    round-2 decomposed VJP it replaced (DIFFMA_MIXER_BWD=decomposed)."""
+    import diffma_tpu.ops.fused_mixer as fm
+
+    spec = build_scan_spec("spiral", 4, 1)
+    args = _args(seed=7)
+    argnums = tuple(range(len(args)))
+
+    def grads():
+        return jax.grad(
+            lambda *a: jnp.sum(jnp.tanh(mamba_mixer_fused(spec, *a))),
+            argnums=argnums,
+        )(*args)
+
+    monkeypatch.setenv("DIFFMA_MIXER_BWD", "decomposed")
+    assert not fm._use_monolithic_bwd()
+    g_dec = grads()
+    monkeypatch.delenv("DIFFMA_MIXER_BWD")
+    assert fm._use_monolithic_bwd()
+    g_mono = grads()
+    for a, b in zip(g_mono, g_dec):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("block_type", ["spiral", "vim", "eff"])
 def test_grads_match_composable(block_type):
