@@ -29,6 +29,8 @@ completion (device-side queue), while a literal fetch does.
 """
 
 import json
+import os
+import threading
 import time
 
 import jax
@@ -36,6 +38,37 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IMG_S = 2.0  # estimated upstream A100 sampling throughput
+
+
+def _arm_device_watchdog(seconds: float = 300.0):
+    """Emit a JSON error line and exit if the first device op never returns.
+
+    The containerised TPU is reached through a tunnel; when the tunnel is
+    down, jax.devices() / the first transfer blocks forever rather than
+    raising.  A hung bench records nothing -- an explicit error line is
+    strictly more useful.  Disarmed once the first device round-trip
+    completes (compile times after that are bounded)."""
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(seconds):
+            print(
+                json.dumps(
+                    {
+                        "metric": "images/sec/chip (DiffMa-B/2, 224^2, 250-step DDPM)",
+                        "value": 0.0,
+                        "unit": "img/s",
+                        "vs_baseline": 0.0,
+                        "error": f"device unreachable: first device op did not "
+                                 f"complete within {seconds:.0f}s (TPU tunnel down?)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done
 BATCH = 8
 STEPS = 250
 
@@ -90,6 +123,10 @@ def _time_sampler(model, params, vae, vae_vars, diffusion, cond):
 
 def main():
     import optax
+
+    watchdog = _arm_device_watchdog()
+    _fetch(jnp.zeros((8, 8)) + 1.0)  # first device round-trip
+    watchdog.set()
 
     from diffma_tpu.diffusion import create_diffusion
     from diffma_tpu.models.diffma import build_model
