@@ -22,12 +22,18 @@ mamba_inner_fn) one level higher than the CUDA kernels could: upstream
 launches 3-4 sequential fused kernels plus separate permutation kernels.
 
 Eligible specs: full-length permutation streams -- spiral / zigma / vim /
-vmamba.  The Mamba1 'vim' feature-flip quirk runs in-kernel (per-stream
-out_proj with a column-flipped W for the reverse stream); only
-EfficientVMamba's quarter-length atrous partition falls back to the
-composable path.  Differentiation is decomposed (``jax.custom_vjp``):
-manual out_proj/merge adjoints + the Pallas scan backward + autodiff over
-the scan-free pre-scan segment.
+vmamba -- plus exact disjoint partitions (EfficientVMamba's quarter-length
+atrous streams).  The Mamba1 'vim' feature-flip quirk runs in-kernel
+(per-stream out_proj with a column-flipped W for the reverse stream).
+
+Differentiation (``jax.custom_vjp``) is a second monolithic Pallas kernel
+(``_mixer_bwd_kernel``): per batch element it recomputes the forward in
+VMEM and emits the input gradient plus every weight gradient, accumulated
+across the sequential grid -- no intermediate ever reaches HBM.  The 'vim'
+quirk keeps the round-2 decomposed backward (manual out_proj/merge
+adjoints over a saved ``merged`` residual + the standalone Pallas scan
+backward + autodiff over the scan-free pre-scan segment), also reachable
+everywhere via ``DIFFMA_MIXER_BWD=decomposed`` for A/B probes.
 """
 
 from __future__ import annotations
