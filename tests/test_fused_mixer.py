@@ -99,6 +99,31 @@ def test_monolithic_bwd_matches_decomposed(monkeypatch):
 
 
 @pytest.mark.slow
+def test_monolithic_bwd_bf16_close_to_fp32():
+    """bf16 gradients through the monolithic backward (the TPU training
+    path) must stay finite and track the fp32 gradients to a few percent
+    mean-relative error on every cotangent."""
+    spec = build_scan_spec("spiral", 4, 0)
+    args32 = _args(seed=3)
+    argnums = tuple(range(len(args32)))
+
+    def grads(args):
+        return jax.grad(
+            lambda *a: jnp.sum(jnp.tanh(mamba_mixer_fused(spec, *a))),
+            argnums=argnums,
+        )(*args)
+
+    g32 = grads(args32)
+    g16 = grads((args32[0].astype(jnp.bfloat16),) + args32[1:])
+    for a, b in zip(g16, g32):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.isfinite(a).all()
+        scale = np.abs(b).mean() + 1e-6
+        assert np.abs(a - b).mean() / scale < 0.05
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("block_type", ["spiral", "vim", "eff"])
 def test_grads_match_composable(block_type):
     spec = build_scan_spec(block_type, 4, 0)
