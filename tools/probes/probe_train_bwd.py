@@ -21,11 +21,13 @@ opt = optax.adamw(1e-4, weight_decay=0.0)
 
 for BATCH in (8, 64):
     cond = synthetic_batch(jax.random.PRNGKey(0), BATCH, latent, tokens)
-    params = model.init(jax.random.PRNGKey(1), cond["z"],
-                        jnp.zeros((BATCH,), jnp.int32), cond["y"],
-                        cond["y2"], cond["w"])["params"]
     for mode in ("monolithic", "decomposed"):
         os.environ["DIFFMA_MIXER_BWD"] = mode
+        # re-init per mode: the donated train step consumes the buffers that
+        # TrainState.create aliases from params
+        params = model.init(jax.random.PRNGKey(1), cond["z"],
+                            jnp.zeros((BATCH,), jnp.int32), cond["y"],
+                            cond["y2"], cond["w"])["params"]
         state = TrainState.create(params, opt)
         step = jax.jit(
             make_train_step(make_loss_fn(model, diffusion), opt),
