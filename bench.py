@@ -18,8 +18,9 @@ Protocol (matches BASELINE.json: "images/sec/chip (DiffMa-B/2, 224^2,
     which bounds it to a few images/sec; 2.0 img/s is a deliberately
     generous estimate.  BASELINE.json's target is >=5x that.
 
-Aux fields: Mamba2/SSD sampling headline (--use-mamba2 protocol), train
-steps/sec (B/2, global batch 8), analytic model-FLOP utilisation (`mfu`)
+Aux fields: Mamba2/SSD sampling headline (--use-mamba2 protocol), the
+DDIM-50 fast protocol the reference also ships (--use_ddim + respacing),
+train steps/sec (B/2, global batch 8), analytic model-FLOP utilisation (`mfu`)
 against the device's peak (the denoiser's matmul+scan FLOPs only; VAE decode
 and gathers excluded, so it is a *lower bound* on achieved FLOP/s).
 
@@ -95,15 +96,17 @@ def _fetch(tree):
     return np.asarray(jax.tree.leaves(tree)[0])
 
 
-def _time_sampler(model, params, vae, vae_vars, diffusion, cond):
+def _time_sampler(model, params, vae, vae_vars, diffusion, cond, use_ddim=False):
     from diffma_tpu.models.vae import SD_VAE_SCALE, AutoencoderKL
+
+    loop = diffusion.ddim_sample_loop if use_ddim else diffusion.p_sample_loop
 
     @jax.jit
     def sample(params, rng, z, y, y2, w):
         def model_fn(x, t, **kw):
             return model.apply({"params": params}, x, t, **kw).astype(jnp.float32)
 
-        lat = diffusion.p_sample_loop(
+        lat = loop(
             model_fn, z.shape, rng, noise=z, clip_denoised=False,
             model_kwargs={"y": y, "y2": y2, "w": w},
         )
@@ -179,6 +182,15 @@ def main():
     sample_time2 = _time_sampler(model2, params2, vae, vae_vars, diffusion, cond)
     img_s_mamba2 = BATCH / sample_time2
 
+    # DDIM-50 fast path (aux): the reference ships --use_ddim + respacing
+    # (sample.py:104-109, diffusion factory timestep_respacing); 50-step DDIM
+    # is its standard fast protocol.  Same model/weights, ddim_sample_loop.
+    ddim_diffusion = create_diffusion("ddim50")
+    sample_time_ddim = _time_sampler(
+        model2, params2, vae, vae_vars, ddim_diffusion, cond, use_ddim=True
+    )
+    img_s_ddim50 = BATCH / sample_time_ddim
+
     # Mamba2 train steps/sec (aux): fused fwd + hand-derived Pallas bwd.
     train_diff2 = create_diffusion("")
     opt2 = optax.adamw(1e-4, weight_decay=0.0)
@@ -241,6 +253,7 @@ def main():
                 "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 2),
                 "mamba2_images_per_sec": round(img_s_mamba2, 3),
                 "mamba2_vs_baseline": round(img_s_mamba2 / A100_BASELINE_IMG_S, 2),
+                "mamba2_ddim50_images_per_sec": round(img_s_ddim50, 3),
                 "train_steps_per_sec_bs8": round(steps_s, 3),
                 "mamba2_train_steps_per_sec_bs8": round(steps_s_mamba2, 3),
                 "sample_mfu": sample_mfu,
