@@ -18,8 +18,12 @@ Protocol (matches BASELINE.json: "images/sec/chip (DiffMa-B/2, 224^2,
     which bounds it to a few images/sec; 2.0 img/s is a deliberately
     generous estimate.  BASELINE.json's target is >=5x that.
 
-Aux fields: Mamba2/SSD sampling headline (--use-mamba2 protocol), the
-DDIM-50 fast protocol the reference also ships (--use_ddim + respacing),
+Aux fields: Mamba2/SSD sampling headline (--use-mamba2 protocol), a
+DDIM-50 fast protocol (the reference's inherited diffusion library supports
+"ddimN" respacing + ddim_sample_loop, but its shipped sampling script always
+uses DDPM p_sample_loop with numeric respacing, sample.py:53,109 — so DDIM-50
+is an additional fast protocol this repo exercises, not the reference's
+standard one),
 train steps/sec (B/2, global batch 8), analytic model-FLOP utilisation (`mfu`)
 against the device's peak (the denoiser's matmul+scan FLOPs only; VAE decode
 and gathers excluded, so it is a *lower bound* on achieved FLOP/s).
@@ -182,9 +186,12 @@ def main():
     sample_time2 = _time_sampler(model2, params2, vae, vae_vars, diffusion, cond)
     img_s_mamba2 = BATCH / sample_time2
 
-    # DDIM-50 fast path (aux): the reference ships --use_ddim + respacing
-    # (sample.py:104-109, diffusion factory timestep_respacing); 50-step DDIM
-    # is its standard fast protocol.  Same model/weights, ddim_sample_loop.
+    # DDIM-50 fast path (aux): the reference's diffusion library supports
+    # "ddimN" respacing + ddim_sample_loop (respace.py:12-62,
+    # gaussian_diffusion.py:656-680) but its shipped sample.py always calls
+    # DDPM p_sample_loop with numeric respacing (sample.py:53,109) — this is
+    # an additional fast protocol this repo exercises, with no reference
+    # baseline number.  Same model/weights, ddim_sample_loop.
     ddim_diffusion = create_diffusion("ddim50")
     sample_time_ddim = _time_sampler(
         model2, params2, vae, vae_vars, ddim_diffusion, cond, use_ddim=True
