@@ -676,16 +676,28 @@ class GaussianDiffusion:
         kl = normal_kl(qt_mean, qt_logvar, 0.0, 0.0)
         return mean_flat(kl) / np.log(2.0)
 
-    def calc_bpd_loop(self, model, x_start, rng, clip_denoised=True, model_kwargs=None):
+    def calc_bpd_loop(
+        self, model, x_start, rng, clip_denoised=True, model_kwargs=None,
+        noise=None,
+    ):
         """Full VLB in bits/dim over all timesteps, as a lax.scan
-        (gaussian_diffusion.py:808-861)."""
+        (gaussian_diffusion.py:808-861).
+
+        ``noise``: optional (T, *x_start.shape) array; ``noise[i]`` is the
+        q_sample noise used at loop step i, i.e. at t = T-1-i -- the same
+        order the reference draws ``th.randn_like`` in its t-descending
+        Python loop (gaussian_diffusion.py:830-832).  When None, noise is
+        drawn from ``rng`` (fold_in per step)."""
         B = x_start.shape[0]
         T = self.num_timesteps
 
         def step(_, i):
             t = jnp.full((B,), T - 1 - i, jnp.int32)
-            noise = jax.random.normal(jax.random.fold_in(rng, i), x_start.shape)
-            x_t = self.q_sample(x_start, t, noise)
+            if noise is None:
+                eps_in = jax.random.normal(jax.random.fold_in(rng, i), x_start.shape)
+            else:
+                eps_in = noise[i]
+            x_t = self.q_sample(x_start, t, eps_in)
             out = self._vb_terms_bpd(
                 model, x_start, x_t, t, clip_denoised=clip_denoised,
                 model_kwargs=model_kwargs,
@@ -694,7 +706,7 @@ class GaussianDiffusion:
             return None, (
                 out["output"],
                 mean_flat(jnp.square(out["pred_xstart"] - x_start)),
-                mean_flat(jnp.square(eps - noise)),
+                mean_flat(jnp.square(eps - eps_in)),
             )
 
         _, (vb, xstart_mse, mse) = jax.lax.scan(step, None, jnp.arange(T))

@@ -247,3 +247,75 @@ def test_training_losses_match_reference():
             np.asarray(got[k]), want[k].numpy(), rtol=_tol(3e-5), atol=_tol(3e-5),
             err_msg=k,
         )
+
+
+def test_ddim_reverse_sample_matches_reference_pointwise():
+    """Forward-ODE step (gaussian_diffusion.py:562-598), respaced so the
+    alphas_cumprod_next table and t-remap are exercised; with and without
+    the cond_fn branch (:585-586)."""
+    ours = create_diffusion("25")
+    ref = ref_create_diffusion("25")
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 4, 7, 7)).astype(np.float32)
+    # include t = T-1 (alphas_cumprod_next == 0.0 edge) and t = 0
+    for tvals in ([0, 12], [20, 24]):
+        t = np.array(tvals, np.int64)
+        for cond_jax, cond_torch in ((None, None), (_cond_jax, _cond_torch)):
+            got = ours.ddim_reverse_sample(
+                _model_jax, jnp.asarray(x), jnp.asarray(t),
+                clip_denoised=False, cond_fn=cond_jax,
+            )
+            want = ref.ddim_reverse_sample(
+                _model_torch, torch.from_numpy(x), torch.from_numpy(t),
+                clip_denoised=False, cond_fn=cond_torch,
+                model_kwargs={} if cond_torch is not None else None,
+            )
+            for k in ("sample", "pred_xstart"):
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), want[k].numpy(),
+                    rtol=_tol(2e-5), atol=_tol(2e-5),
+                    err_msg=f"{k} t={tvals} cond={cond_jax is not None}",
+                )
+
+
+def test_calc_bpd_loop_matches_reference():
+    """Full VLB loop (gaussian_diffusion.py:808-861): total_bpd/prior_bpd and
+    the [N, T] vb/xstart_mse/mse stacks incl. their t-descending column
+    order.  Identical per-step q_sample noise is injected on both sides (ours
+    via the explicit ``noise`` arg; the reference by patching th.randn_like,
+    which calc_bpd_loop calls once per step, t = T-1 .. 0)."""
+    ours = create_diffusion("25")
+    ref = ref_create_diffusion("25")
+    T = ours.num_timesteps
+    assert T == 25
+    rng = np.random.default_rng(13)
+    x0 = rng.standard_normal((2, 4, 7, 7)).astype(np.float32)
+    noise_seq = rng.standard_normal((T,) + x0.shape).astype(np.float32)
+
+    got = ours.calc_bpd_loop(
+        _model_jax, jnp.asarray(x0), jax.random.PRNGKey(0),
+        clip_denoised=False, noise=jnp.asarray(noise_seq),
+    )
+
+    calls = {"i": 0}
+
+    def _fake_randn_like(t, **kw):
+        out = torch.from_numpy(noise_seq[calls["i"]])
+        calls["i"] += 1
+        return out
+
+    real = torch.randn_like
+    torch.randn_like = _fake_randn_like
+    try:
+        want = ref.calc_bpd_loop(
+            _model_torch, torch.from_numpy(x0), clip_denoised=False
+        )
+    finally:
+        torch.randn_like = real
+    assert calls["i"] == T
+
+    for k in ("total_bpd", "prior_bpd", "vb", "xstart_mse", "mse"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].numpy(),
+            rtol=_tol(3e-5), atol=_tol(3e-5), err_msg=k,
+        )
