@@ -39,7 +39,7 @@ from diffma_tpu.ops.fused_mixer import mixer_fused_eligible
 from diffma_tpu.ops.fused_ssd import mamba2_mixer_fused
 from diffma_tpu.ops.norm import rms_norm_gated
 from diffma_tpu.ops.scan_orders import ScanSpec
-from diffma_tpu.ops.ssd import ssd_chunked
+from diffma_tpu.ops.ssd import ssd_chunked, ssd_chunked_grouped
 
 __all__ = ["Mamba2"]
 
@@ -132,7 +132,7 @@ class Mamba2(nn.Module):
         n = self.d_state
         H = self.nheads
         g = self.ngroups
-        assert g == 1, "ngroups>1 not required by any reference config"
+        assert H % g == 0, (H, g)
         conv_dim = d_in + 2 * g * n
         d_in_proj = 2 * d_in + 2 * g * n + H
         xavier = nn.initializers.xavier_uniform()
@@ -167,6 +167,7 @@ class Mamba2(nn.Module):
 
         if (
             self.scan_impl == "fused"
+            and g == 1  # fused whole-mixer kernel is single-group only
             and self._axis_size(self.tp_axis) == 1
             and self._axis_size(self.sp_axis) == 1
             and mixer_fused_eligible(spec, partition=True)
@@ -179,6 +180,15 @@ class Mamba2(nn.Module):
                 tuple(self.dt_limit), self.norm_eps, self.chunk_size,
             )
 
+        if self._axis_size(self.tp_axis) > 1 or self._axis_size(self.sp_axis) > 1:
+            # Parallel paths are single-group: our TP shards HEADS with the
+            # (tiny) B/C columns replicated, which is only head-symmetric for
+            # ngroups=1.  The reference's TP instead divides ngroups across
+            # ranks (block/mamba2.py:283-284) -- an arrangement no shipped
+            # config can use (every config has ngroups=1, so world_size>1
+            # would fail its own assert).  Grouped + parallel is therefore
+            # out of scope by the same bound the reference imposes.
+            assert g == 1, "tensor/sequence parallel Mamba2 requires ngroups=1"
         if self._axis_size(self.tp_axis) > 1:
             sp = self._axis_size(self.sp_axis) > 1
             if sp and spec.fwd.shape[1] % self._axis_size(self.sp_axis):
@@ -322,8 +332,9 @@ class Mamba2(nn.Module):
                 mesh=self.mesh, axis=self.sp_axis, **ssd_args,
             )
         else:
-            y = ssd_chunked(
-                x_h, dt.astype(jnp.float32), A, B_ssm, C_ssm, D, **ssd_args
+            y = ssd_chunked_grouped(
+                x_h, dt.astype(jnp.float32), A, B_ssm, C_ssm, D, ngroups=g,
+                **ssd_args,
             )
         y = y.reshape(B_ * S, Ls_eff, d_eff)
 

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["ssd_chunked", "ssd_ref", "ssd_state_update"]
+__all__ = ["ssd_chunked", "ssd_chunked_grouped", "ssd_ref", "ssd_state_update"]
 
 
 def _contract_precision(dtype) -> lax.Precision:
@@ -138,6 +138,68 @@ def ssd_ref(
     y = y + (D[:, None] if D.ndim == 1 else D) * x
     y = y.astype(out_dtype)
     return (y, S_final) if return_final_state else y
+
+
+def ssd_chunked_grouped(
+    x: jax.Array,  # (G, L, H, P)
+    dt: jax.Array,  # (G, L, H)
+    A: jax.Array,  # (H,)
+    B: jax.Array,  # (G, L, ngroups*N)
+    C: jax.Array,  # (G, L, ngroups*N)
+    D: jax.Array,  # (H,) or (H, P)
+    ngroups: int = 1,
+    dt_bias: Optional[jax.Array] = None,
+    initial_state: Optional[jax.Array] = None,  # (G, H, P, N)
+    return_final_state: bool = False,
+    **kw,
+):
+    """Multi-group SSD scan: head ``h`` reads B/C group ``h // (H/ngroups)``
+    (the reference's grouped layout -- ``rearrange(B, "b l (g n) -> b l g n")``
+    with contiguous head blocks per group, block/mamba2.py:764-765 and the
+    Triton kernels' (b, l, g, n) convention).
+
+    Groups fold into a vmapped leading axis over :func:`ssd_chunked`; the
+    per-head tables (A, D, dt_bias) ride along as per-group slices, so the
+    single-group kernel is reused unchanged.
+    """
+    if ngroups == 1:
+        return ssd_chunked(
+            x, dt, A, B, C, D, dt_bias=dt_bias, initial_state=initial_state,
+            return_final_state=return_final_state, **kw,
+        )
+    G, L, H, P = x.shape
+    g = ngroups
+    Hg, rem = divmod(H, g)
+    assert rem == 0, f"nheads {H} not divisible by ngroups {g}"
+    xg = jnp.moveaxis(x.reshape(G, L, g, Hg, P), 2, 0)
+    dtg = jnp.moveaxis(dt.reshape(G, L, g, Hg), 2, 0)
+    Bg = jnp.moveaxis(B.reshape(G, L, g, -1), 2, 0)
+    Cg = jnp.moveaxis(C.reshape(G, L, g, -1), 2, 0)
+    Ag = A.reshape(g, Hg)
+    Dg = D.reshape((g, Hg) if D.ndim == 1 else (g, Hg, D.shape[-1]))
+    dbg = None if dt_bias is None else dt_bias.reshape(g, Hg)
+    S0g = (
+        None
+        if initial_state is None
+        else jnp.moveaxis(
+            initial_state.reshape(G, g, Hg, *initial_state.shape[2:]), 1, 0
+        )
+    )
+
+    def one_group(xx, dd, aa, bb, cc, ddd, bias, s0):
+        return ssd_chunked(
+            xx, dd, aa, bb, cc, ddd, dt_bias=bias, initial_state=s0,
+            return_final_state=True, **kw,
+        )
+
+    y, S_final = jax.vmap(one_group)(xg, dtg, Ag, Bg, Cg, Dg, dbg, S0g)
+    y = jnp.moveaxis(y, 0, 2).reshape(G, L, H, P)
+    if return_final_state:
+        S_final = jnp.moveaxis(S_final, 0, 1).reshape(
+            G, H, *S_final.shape[3:]
+        )
+        return y, S_final
+    return y
 
 
 def _segsum_decay(cs: jax.Array) -> jax.Array:

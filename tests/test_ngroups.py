@@ -1,0 +1,150 @@
+"""Mamba2 ``ngroups > 1`` (VERDICT r3 item #7).
+
+The reference carries group support through its whole Mamba2 stack
+(block/mamba2.py:283-284 divides ngroups over TP ranks; the Triton kernels
+take B/C as (b, l, g, n) with contiguous head blocks per group) even though
+no shipped config ever sets ngroups != 1.  The composable path here supports
+it; these tests pin the semantics:
+
+* grouped chunked scan == per-group sequential ground truth, including the
+  (initial_state, final_state) sequence-handoff contract;
+* the full grouped mixer matches the reference's own fused-call semantics
+  (ref_oracle.mamba_split_conv1d_scan_combined with ngroups=2, which is the
+  documented spec of block/mamba2.py:392-704 + 746-765);
+* gradients flow.
+
+Parallel (tp/sp) and fused-kernel paths stay ngroups=1 by the same bound the
+reference imposes (its own TP assert can never pass with its configs).
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffma_tpu.models.mamba2 import Mamba2
+from diffma_tpu.ops.scan_orders import ScanSpec
+from diffma_tpu.ops.ssd import ssd_chunked_grouped, ssd_ref
+
+
+def identity_spec(L):
+    ident = np.arange(L, dtype=np.int32)
+    return ScanSpec(fwd=ident[None], merge=ident[:, None], scale=1.0)
+
+
+def _rand(key, *shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+def test_grouped_chunked_matches_per_group_ref():
+    G, L, H, P, N, g = 2, 24, 6, 4, 3, 3
+    Hg = H // g
+    x = _rand(0, G, L, H, P)
+    dt = 0.5 * _rand(1, G, L, H)
+    A = -jnp.exp(_rand(2, H) * 0.3)
+    B = _rand(3, G, L, g * N)
+    C = _rand(4, G, L, g * N)
+    D = _rand(5, H)
+    dt_bias = 0.1 * _rand(6, H)
+
+    got = ssd_chunked_grouped(
+        x, dt, A, B, C, D, ngroups=g, dt_bias=dt_bias, chunk_size=8
+    )
+
+    # ground truth: run the sequential reference once per group on its own
+    # head block and B/C columns
+    want = np.zeros((G, L, H, P), np.float32)
+    for j in range(g):
+        hs = slice(j * Hg, (j + 1) * Hg)
+        ns = slice(j * N, (j + 1) * N)
+        want[:, :, hs] = np.asarray(
+            ssd_ref(
+                x[:, :, hs], dt[:, :, hs], A[hs], B[:, :, ns], C[:, :, ns],
+                D[hs], dt_bias=dt_bias[hs],
+            )
+        )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_state_handoff():
+    """initial_state/return_final_state compose across a sequence split."""
+    G, L, H, P, N, g = 1, 16, 4, 4, 2, 2
+    x = _rand(0, G, L, H, P)
+    dt = 0.5 * _rand(1, G, L, H)
+    A = -jnp.exp(_rand(2, H) * 0.3)
+    B = _rand(3, G, L, g * N)
+    C = _rand(4, G, L, g * N)
+    D = _rand(5, H)
+
+    full, s_full = ssd_chunked_grouped(
+        x, dt, A, B, C, D, ngroups=g, chunk_size=4, return_final_state=True
+    )
+    h = L // 2
+    y1, s1 = ssd_chunked_grouped(
+        x[:, :h], dt[:, :h], A, B[:, :h], C[:, :h], D, ngroups=g,
+        chunk_size=4, return_final_state=True,
+    )
+    y2, s2 = ssd_chunked_grouped(
+        x[:, h:], dt[:, h:], A, B[:, h:], C[:, h:], D, ngroups=g,
+        chunk_size=4, initial_state=s1, return_final_state=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y1, y2], axis=1)), np.asarray(full),
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s_full), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_mamba2_ngroups_mixer_matches_reference_oracle():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/repo/tests")
+    from ref_oracle import mamba_split_conv1d_scan_combined
+
+    B_, L, d_model, n, g, hd = 2, 16, 32, 8, 2, 16
+    m = Mamba2(d_model=d_model, d_state=n, headdim=hd, ngroups=g, chunk_size=8)
+    spec = identity_spec(L)
+    u = _rand(0, B_, L, d_model)
+    params = m.init(jax.random.PRNGKey(1), u, spec)["params"]
+    got = np.asarray(m.apply({"params": params}, u, spec))
+
+    tt = lambda a: torch.from_numpy(np.asarray(a, np.float32))  # noqa: E731
+    zxbcdt = tt(jnp.dot(u, params["in_proj"]["kernel"]))
+    want = mamba_split_conv1d_scan_combined(
+        zxbcdt,
+        tt(params["conv1d_weight"]),
+        tt(params["conv1d_bias"]),
+        tt(params["dt_bias"]),
+        -torch.exp(tt(params["A_log"])),
+        tt(params["D"]),
+        chunk_size=8,
+        activation="silu",
+        rmsnorm_weight=tt(params["norm_weight"]),
+        rmsnorm_eps=m.norm_eps,
+        outproj_weight=tt(params["out_proj"]["kernel"]).T.contiguous(),
+        headdim=hd,
+        ngroups=g,
+        norm_before_gate=False,
+    ).numpy()
+    mae = float(np.abs(got - want).mean())
+    assert mae < 1e-5, f"grouped mixer MAE vs reference oracle: {mae}"
+
+
+def test_mamba2_ngroups_spiral_spec_and_grads():
+    """Grouped mixer under a real multi-stream scan order; grads finite."""
+    from diffma_tpu.ops.scan_orders import build_scan_spec
+
+    m = Mamba2(d_model=32, d_state=8, headdim=16, ngroups=2, chunk_size=8)
+    spec = build_scan_spec("spiral", 4, 0)
+    u = _rand(0, 2, 16, 32)
+    params = m.init(jax.random.PRNGKey(1), u, spec)["params"]
+
+    def loss(p):
+        return jnp.mean(jnp.square(m.apply({"params": p}, u, spec)))
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
