@@ -30,10 +30,12 @@ Differentiation (``jax.custom_vjp``) is a second monolithic Pallas kernel
 (``_mixer_bwd_kernel``): per batch element it recomputes the forward in
 VMEM and emits the input gradient plus every weight gradient, accumulated
 across the sequential grid -- no intermediate ever reaches HBM.  The 'vim'
-quirk keeps the round-2 decomposed backward (manual out_proj/merge
-adjoints over a saved ``merged`` residual + the standalone Pallas scan
-backward + autodiff over the scan-free pre-scan segment), also reachable
-everywhere via ``DIFFMA_MIXER_BWD=decomposed`` for A/B probes.
+quirk runs in the same kernel (the reverse stream's gradient arrives
+feature-flipped as an extra input, no row permute).  The round-2
+decomposed backward (manual out_proj/merge adjoints over a saved
+``merged`` residual + the standalone Pallas scan backward + autodiff over
+the scan-free pre-scan segment) stays reachable everywhere via
+``DIFFMA_MIXER_BWD=decomposed`` for A/B probes.
 """
 
 from __future__ import annotations
@@ -561,16 +563,8 @@ def _manual_bwd(
 
 
 def _mixer_bwd_kernel(
-    # inputs
-    x_ref, g_ref, inw_ref, convw_ref, convb_ref, xpw_ref, dtw_ref, dtb_ref,
-    AT_ref, D_ref, outw_ref, P_ref,
-    # outputs
-    gx_ref, gin_ref, gconvw_ref, gconvb_ref, gxpw_ref, gdtw_ref, gdtb_ref,
-    gA_ref, gD_ref, goutw_ref,
-    # scratch
-    xz, xsb, ub, preb, drawb, dts, xdbb, gpb, gyb, ysc, dub, ddb, dBb, dCb,
-    dxsb, dxzacc, abuf, bbuf, hbuf, gbuf, tbuf, ckpt, dacc,
-    *, L, Q, d, r, n, S, scale, ident, winit, Lr=None,
+    x_ref, g_ref, *rest,
+    L, Q, d, r, n, S, scale, ident, winit, Lr=None, quirk=False,
 ):
     """Monolithic backward for the fused Mamba1 mixer: ONE Pallas call per
     batch element that recomputes the forward from x + weights entirely in
@@ -586,7 +580,30 @@ def _mixer_bwd_kernel(
     Weight-grad outputs use constant (per-mixer) index maps and accumulate
     across the sequential grid; they are zeroed when a new weight set first
     appears (``i % winit == 0``) -- same idiom as fused_ssd._ssd_bwd_kernel.
+
+    ``quirk`` (the Mamba1 'vim' merge bug, block/mamba.py:362-367): the
+    forward runs out_proj per stream in STREAM token order and feature-flips
+    the reverse stream's output before summing, so the incoming stream
+    gradient is ``g @ out_w^T`` (stream 0) / ``flip_h(g) @ out_w^T``
+    (stream 1) with NO row permute, and out_w's grad pairs each stream's
+    gated output with the same (un)flipped g.  The flipped g arrives as an
+    extra input (first element of ``rest``) because Mosaic has no rev
+    lowering -- the same trick the forward kernel uses for flip_h(W).
+    Everything upstream of the merge (fan-out permutes, conv, projections,
+    scan adjoint) is identical to the non-quirk path.
     """
+    if quirk:
+        gflip_ref, *rest = rest
+    else:
+        gflip_ref = None
+    (
+        inw_ref, convw_ref, convb_ref, xpw_ref, dtw_ref, dtb_ref,
+        AT_ref, D_ref, outw_ref, P_ref,
+        gx_ref, gin_ref, gconvw_ref, gconvb_ref, gxpw_ref, gdtw_ref,
+        gdtb_ref, gA_ref, gD_ref, goutw_ref,
+        xz, xsb, ub, preb, drawb, dts, xdbb, gpb, gyb, ysc, dub, ddb, dBb,
+        dCb, dxsb, dxzacc, abuf, bbuf, hbuf, gbuf, tbuf, ckpt, dacc,
+    ) = rest
 
     def _w(ref):
         return ref[0] if ref.ndim == 3 else ref[...]
@@ -657,7 +674,11 @@ def _mixer_bwd_kernel(
         # ---- incoming gradient for this stream ---------------------------
         # g_y = scale * P_s @ (g @ out_w^T); permuting g first keeps the
         # one-hot selection exact and yields gp for the out_w grad below.
-        if ident[s]:
+        # quirk: streams keep their own token order, so gp is g (or its
+        # feature-flipped copy for the reverse stream) with no row permute.
+        if quirk:
+            gpb[...] = g if s == 0 else gflip_ref[0]
+        elif ident[s]:
             gpb[...] = g
         else:
             gpb[...] = jnp.dot(
@@ -868,10 +889,13 @@ def _monolithic_bwd(spec, x, g, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D,
     P = jnp.asarray(_perm_matrices(spec, L, Lr)).astype(x.dtype)
     nq = Lr // Q
 
+    quirk = bool(spec.mamba1_vim_quirk)
+    if quirk:
+        assert not stacked and Lr == L  # vim: full-length streams, single
     kernel = functools.partial(
         _mixer_bwd_kernel, L=L, Q=Q, d=d, r=r, n=n, S=S,
         scale=float(spec.scale), ident=_identity_streams(spec), winit=winit,
-        Lr=Lr,
+        Lr=Lr, quirk=quirk,
     )
     cd = x.dtype
     AT = (
@@ -899,12 +923,17 @@ def _monolithic_bwd(spec, x, g, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D,
     ]
     gshapes = ((h, 2 * d), (K, d), (1, d), (d, r2n), (r, d), (1, d),
                (n, d), (1, d), (d, h))
+    gcast = g.astype(cd)
+    row_spec = pl.BlockSpec((1, L, h), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    gflip_inputs = (gcast[..., ::-1],) if quirk else ()
     outs = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+            *([row_spec] if quirk else []),
             *wspecs,
             pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -946,7 +975,7 @@ def _monolithic_bwd(spec, x, g, in_w, conv_w, conv_b, xp_w, dt_w, dt_b, A, D,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(x, g.astype(cd), *ops, P)
+    )(x, gcast, *gflip_inputs, *ops, P)
     gx, gin, gconvw, gconvb, gxpw, gdtw, gdtb, gA, gD, goutw = outs
     gx = gx[:, :L0] if L != L0 else gx
     if stacked:
@@ -1017,10 +1046,10 @@ def mamba_mixer_fused(
 
 
 def _vjp_fwd(spec, *args):
-    # The 'vim' quirk (per-stream out_proj on a flipped W) keeps the
-    # decomposed backward; everything else takes the monolithic kernel and
-    # needs no residual beyond the primal inputs.
-    if spec.mamba1_vim_quirk or not _use_monolithic_bwd():
+    # Everything (incl. the 'vim' quirk since round 4) takes the monolithic
+    # kernel, which needs no residual beyond the primal inputs; the
+    # decomposed VJP stays reachable via DIFFMA_MIXER_BWD=decomposed.
+    if not _use_monolithic_bwd():
         out, merged = _fwd_impl(spec, *args, want_merged=True)
         return out, args + (merged,)
     return _fwd_impl(spec, *args), args

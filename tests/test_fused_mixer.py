@@ -70,13 +70,16 @@ def test_unpadded_length():
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
-def test_monolithic_bwd_matches_decomposed(monkeypatch):
+@pytest.mark.parametrize("block_type,layer", [("spiral", 1), ("vim", 0)])
+def test_monolithic_bwd_matches_decomposed(monkeypatch, block_type, layer):
     """The monolithic backward kernel (one Pallas call: in-VMEM forward
     recompute + scan adjoint + all weight grads) must agree with the
-    round-2 decomposed VJP it replaced (DIFFMA_MIXER_BWD=decomposed)."""
+    round-2 decomposed VJP it replaced (DIFFMA_MIXER_BWD=decomposed).
+    'vim' exercises the quirk branch (flipped-g stream gradient, no row
+    permute) added in round 4."""
     import diffma_tpu.ops.fused_mixer as fm
 
-    spec = build_scan_spec("spiral", 4, 1)
+    spec = build_scan_spec(block_type, 4, layer)
     args = _args(seed=7)
     argnums = tuple(range(len(args)))
 
