@@ -185,9 +185,11 @@ class DiffMa(nn.Module):
 
 def _cfg(depth: int, patch: int, block_type: str):
     def factory(**kwargs):
+        # hidden_size is overridable (tests/harnesses shrink it); every
+        # registry entry defaults to the reference's 512 (model.py:634-673).
+        kwargs.setdefault("hidden_size", 512)
         return DiffMa(
-            depth=depth, patch_size=patch, hidden_size=512,
-            block_type=block_type, **kwargs,
+            depth=depth, patch_size=patch, block_type=block_type, **kwargs,
         )
 
     return factory

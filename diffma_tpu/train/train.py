@@ -251,13 +251,22 @@ def main(cfg) -> Optional[TrainState]:
         tp_axis="tp" if tp > 1 else None,
         sp_axis="sp" if sp > 1 else None,
         dtype=dtype,
+        # optional width override (tests / scaling studies); registry
+        # entries default to the reference's hidden_size=512
+        **(
+            {"hidden_size": int(cfg.hidden_size)}
+            if cfg.get("hidden_size")
+            else {}
+        ),
     )
     diffusion = create_diffusion("")
     tokens = (latent // model.patch_size) ** 2
 
     # --- init / resume ------------------------------------------------------
     rng, init_rng = jax.random.split(rng)
-    dummy = synthetic_batch(jax.random.PRNGKey(0), 2, latent, tokens)
+    dummy = synthetic_batch(
+        jax.random.PRNGKey(0), 2, latent, tokens, dim=model.hidden_size
+    )
     params = model.init(
         init_rng, dummy["z"], jnp.zeros((2,), jnp.int32), dummy["y"], dummy["y2"],
         dummy["w"],
@@ -279,6 +288,44 @@ def main(cfg) -> Optional[TrainState]:
     optimizer = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=0.0)
     state = TrainState.create(shard_params(params, mesh), optimizer)
     state = state.replace(step=jnp.asarray(start_step, jnp.int32))
+
+    resume_fast_forward = 0
+    if cfg.get("resume_from"):
+        # Warm restart from our own Orbax checkpoints: restore params + EMA +
+        # optimizer state and continue counting from the saved step.  (The
+        # reference's only restart path reloads model/ema pickles without
+        # optimizer state, train.py:137-151; this is the full-fidelity
+        # version its Orbax layout enables.)  Restore is read-only, so every
+        # process restores independently -- no collective needed (the SAVE
+        # is the collective side).
+        from diffma_tpu.train.checkpoints import latest_step, restore_checkpoint
+
+        resume_dir = str(cfg.resume_from)
+        r_step = int(cfg.get("resume_step") or latest_step(resume_dir))
+        target = {
+            "model": jax.device_get(state.params),
+            "ema": jax.device_get(state.ema_params),
+            "opt": jax.device_get(state.opt_state),
+        }
+        restored = restore_checkpoint(resume_dir, r_step, target=target)
+        state = state.replace(
+            params=shard_params(
+                jax.tree.map(jnp.asarray, restored["model"]), mesh
+            ),
+            ema_params=shard_params(
+                jax.tree.map(jnp.asarray, restored["ema"]), mesh
+            ),
+            opt_state=shard_params(
+                jax.tree.map(jnp.asarray, restored["opt"]), mesh
+            ),
+            step=jnp.asarray(r_step, jnp.int32),
+        )
+        start_step = r_step
+        # Replay the per-step rng splits so a resumed synthetic run continues
+        # the exact stream an uninterrupted run would use (real-data runs
+        # restart the loader like the reference's restart does).
+        resume_fast_forward = r_step
+        logger.info(f"Resumed from {resume_dir} at step {r_step}")
 
     loss_fn = make_loss_fn(model, diffusion)
     train_step = jax.jit(
@@ -321,12 +368,28 @@ def main(cfg) -> Optional[TrainState]:
     assert global_batch % jax.process_count() == 0
     host_batch = global_batch // jax.process_count()
 
+    # Seeded-overfit harness: with ``overfit_fixed_batch: true`` the synthetic
+    # path feeds the SAME deterministic batch every step (latents + per-sample
+    # conditioning from one fixed key), so training must memorise it -- the
+    # end-to-end "does the optimizer wiring learn?" proof
+    # (tests/test_overfit.py).  Everything else (loss, train_step, EMA,
+    # NaN-skip, sharding) is the production path.
+    fixed_batch = None
+    if synthetic and bool(cfg.get("overfit_fixed_batch", False)):
+        fixed_batch = synthetic_batch(
+            jax.random.PRNGKey(int(cfg.get("global_seed", 0)) + 1),
+            host_batch, latent, tokens, dim=model.hidden_size,
+        )
+
     # --- loop -----------------------------------------------------------------
     log_every = int(cfg.get("log_every", 10))
     ckpt_every = int(cfg.get("ckpt_every", 50_000))
     max_steps = cfg.get("max_steps")  # optional early stop for smoke runs
     train_steps = start_step
     running = []
+    # Optional per-step loss trace (tests/test_overfit.py, loss-curve studies):
+    # losses stay on device until the end so tracing never syncs the loop.
+    history = [] if bool(cfg.get("return_loss_history", False)) else None
     t0 = time.time()
     profiler = StepProfiler(
         cfg.get("profile_dir"),
@@ -335,6 +398,13 @@ def main(cfg) -> Optional[TrainState]:
         enabled=(rank == 0),
     )
     throughput = Throughput(global_batch)
+    if resume_fast_forward:
+        rng = jax.jit(
+            lambda k: jax.lax.scan(
+                lambda c, _: (jax.random.split(c, 3)[0], None), k, None,
+                length=resume_fast_forward,
+            )[0]
+        )(rng)
     logger.info(f"Training for {cfg.epochs} epochs...")
 
     for epoch in range(int(cfg.epochs)):
@@ -350,14 +420,21 @@ def main(cfg) -> Optional[TrainState]:
                 x3 = np.concatenate([x_ct] * 3, axis=1)
                 z3 = np.concatenate([z_mri] * 3, axis=1)
                 batch = cond(enc_rng, x3, z3)
+            elif fixed_batch is not None:
+                batch = fixed_batch
             else:
-                batch = synthetic_batch(enc_rng, host_batch, latent, tokens)
+                batch = synthetic_batch(
+                    enc_rng, host_batch, latent, tokens,
+                    dim=model.hidden_size,
+                )
             batch = shard_batch(jax.tree.map(np.asarray, batch), mesh)
             state, metrics = train_step(state, batch, step_rng)
             # keep the loss on device: a float() here would sync the host to
             # the step and defeat async dispatch; per-step wandb points are
             # flushed (step-tagged) at each log_every boundary instead.
             running.append(metrics["loss"])
+            if history is not None:
+                history.append(metrics)
             train_steps += 1
             profiler.step(train_steps)
             throughput.tick()
@@ -404,11 +481,25 @@ def main(cfg) -> Optional[TrainState]:
                 profiler.close()
                 logger.info("Done!")
                 wandb.finish()
-                return state
+                return _finish(state, history)
     profiler.close()
     logger.info("Done!")
     wandb.finish()
-    return state
+    return _finish(state, history)
+
+
+def _finish(state, history):
+    """With ``return_loss_history: true`` main returns ``(state, metrics)``
+    where metrics is a dict of per-step fp32 arrays (loss + aux loss terms);
+    otherwise just the final state."""
+    if history is None:
+        return state
+    keys = history[0].keys()
+    stacked = {
+        k: np.asarray(jax.device_get([m[k] for m in history]), np.float32)
+        for k in keys
+    }
+    return state, stacked
 
 
 def build_conditioning(cfg, logger, rng):

@@ -1,0 +1,154 @@
+"""Proof that the framework LEARNS, end-to-end (VERDICT r3 item #1).
+
+Every other test checks parity or "step runs, loss finite, params change";
+nothing showed the optimizer wiring actually optimises.  This test trains a
+real registry model (DiffMa-S/2) on one fixed synthetic batch through the
+production ``train.main`` path (hybrid loss -> make_train_step -> adamw ->
+EMA -> NaN-skip -> dp sharding) and asserts:
+
+1. the hybrid loss's MSE term drops >= 5x from the untrained model's value
+   (evaluated with identical rngs before/after, so the comparison is exact);
+2. a DDIM sample from the trained params reconstructs the memorised target
+   latents better than the untrained model does (SSIM, utils/metrics.py).
+
+Reference semantics being proven: the training loop of
+/root/reference/train.py:247-265 (whose evidence upstream is the shipped
+pretrained checkpoints); overfitting a fixed batch is the standard
+"does it learn?" smoke for that loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffma_tpu.diffusion import create_diffusion
+from diffma_tpu.models.diffma import build_model
+from diffma_tpu.train.train import main, make_loss_fn, synthetic_batch
+from diffma_tpu.utils.config import Config
+from diffma_tpu.utils.metrics import ssim
+
+SEED = 0
+IMAGE_SIZE = 96  # latent 12x12: the smallest grid the 11x11 SSIM window fits
+LATENT = IMAGE_SIZE // 8
+PATCH = 2
+TOKENS = (LATENT // PATCH) ** 2
+BATCH = 8
+STEPS = 200
+D_STATE = 4
+HIDDEN = 128  # width override; registry default 512 is CPU-infeasible here
+
+
+def _cfg(tmp_path):
+    return Config(
+        {
+            "epochs": 1000,  # max_steps stops the run
+            "max_steps": STEPS,
+            "log_every": 50,
+            "ckpt_every": 10**9,
+            "accumulation_steps": 1,
+            "lr": 1e-3,
+            "results_dir": str(tmp_path / "results"),
+            "model": f"DiffMa-S/{PATCH}",
+            "image_size": IMAGE_SIZE,
+            "global_batch_size": BATCH,
+            "global_seed": SEED,
+            "dt_rank": 16,
+            "d_state": D_STATE,
+            "hidden_size": HIDDEN,
+            "synthetic_data": True,
+            "synthetic_dataset_size": 64,
+            "overfit_fixed_batch": True,
+            "return_loss_history": True,
+        }
+    )
+
+
+def _model():
+    # exactly how main() builds it for this cfg (cpu backend -> scan_impl auto)
+    return build_model(
+        f"DiffMa-S/{PATCH}", input_size=LATENT, dt_rank=16, d_state=D_STATE,
+        use_mamba2=False, scan_impl="auto", remat=False, mesh=None,
+        tp_axis=None, sp_axis=None, dtype=jnp.float32, hidden_size=HIDDEN,
+    )
+
+
+def _initial_params(model):
+    # main(): rng = PRNGKey(global_seed); rng, init_rng = split(rng)
+    _, init_rng = jax.random.split(jax.random.PRNGKey(SEED))
+    dummy = synthetic_batch(jax.random.PRNGKey(0), 2, LATENT, TOKENS, dim=HIDDEN)
+    return model.init(
+        init_rng, dummy["z"], jnp.zeros((2,), jnp.int32), dummy["y"],
+        dummy["y2"], dummy["w"],
+    )["params"]
+
+
+def _fixed_batch():
+    # main(): overfit_fixed_batch uses PRNGKey(global_seed + 1)
+    return synthetic_batch(
+        jax.random.PRNGKey(SEED + 1), BATCH, LATENT, TOKENS, dim=HIDDEN
+    )
+
+
+def _eval_mse(model, params, batch, n_keys: int = 4) -> float:
+    """Mean hybrid-loss MSE term over fixed eval rngs (t + noise draws)."""
+    loss_fn = jax.jit(make_loss_fn(model, create_diffusion("")))
+    vals = []
+    for k in range(n_keys):
+        _, aux = loss_fn(params, batch, jax.random.PRNGKey(1000 + k))
+        vals.append(float(aux["mse"]))
+    return float(np.mean(vals))
+
+
+def _ddim_sample(model, params, batch):
+    diffusion = create_diffusion("ddim25")
+
+    def model_fn(x, t, **kw):
+        return model.apply({"params": params}, x, t, **kw).astype(jnp.float32)
+
+    return diffusion.ddim_sample_loop(
+        model_fn, (BATCH, 4, LATENT, LATENT), jax.random.PRNGKey(42),
+        clip_denoised=False,
+        model_kwargs={"y": batch["y"], "y2": batch["y2"], "w": batch["w"]},
+    )
+
+
+def test_overfit_fixed_batch_learns(tmp_path):
+    state, history = main(_cfg(tmp_path))
+    assert int(state.step) == STEPS
+    assert np.all(history["finite"] > 0), "no step may have been NaN-skipped"
+
+    model = _model()
+    batch = _fixed_batch()
+    params0 = _initial_params(model)
+
+    # the harness really fed the deterministic fixed batch: the first recorded
+    # mse must match an eval of the untrained params at the first step's rng
+    # magnitude-wise (same batch, random t) -- check scale, not exact value.
+    mse_init = _eval_mse(model, params0, batch)
+    mse_final = _eval_mse(model, state.params, batch)
+    assert mse_final * 5.0 <= mse_init, (
+        f"MSE term did not drop 5x: {mse_init:.4f} -> {mse_final:.4f}"
+    )
+
+    # the recorded curve itself must trend down (production loop's own trace)
+    head = float(np.mean(history["mse"][:20]))
+    tail = float(np.mean(history["mse"][-20:]))
+    assert tail < head / 3.0, f"recorded mse curve flat: {head:.4f} -> {tail:.4f}"
+
+    # sample quality: DDIM-25 from the trained params must reconstruct the
+    # memorised latents better than the untrained model (per-sample
+    # conditioning identifies which of the 8 latents to produce).
+    target = np.asarray(batch["z"], np.float64)
+    rng_range = float(target.max() - target.min())
+    s_trained = ssim(
+        np.asarray(_ddim_sample(model, state.params, batch)), target,
+        data_range=rng_range,
+    )
+    s_untrained = ssim(
+        np.asarray(_ddim_sample(model, params0, batch)), target,
+        data_range=rng_range,
+    )
+    assert s_trained > s_untrained + 0.05, (
+        f"trained SSIM {s_trained:.3f} !> untrained {s_untrained:.3f}"
+    )

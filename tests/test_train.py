@@ -145,3 +145,29 @@ def test_full_pipeline_synthetic(tmp_path):
 def test_full_pipeline_mamba2(tmp_path):
     state = main(_tiny_cfg(tmp_path, use_mamba2=True, max_steps=2, ckpt_every=100))
     assert int(state.step) == 2
+
+
+def test_resume_from_checkpoint_matches_uninterrupted(tmp_path):
+    """save -> stop -> resume_from -> continue == an uninterrupted run
+    (params, EMA and optimizer state restored with full fidelity; the
+    reference's restart reloads model/ema only, train.py:137-151)."""
+
+    def delta(a, b):
+        return max(
+            float(jnp.abs(x - y).max())
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    main(_tiny_cfg(tmp_path, max_steps=2, ckpt_every=2))
+    ckpt_dirs = list((tmp_path / "results").glob("*/checkpoints"))
+    assert len(ckpt_dirs) == 1
+    resumed = main(
+        _tiny_cfg(
+            tmp_path, max_steps=4, ckpt_every=100,
+            resume_from=str(ckpt_dirs[0]),
+        )
+    )
+    assert int(resumed.step) == 4
+    full = main(_tiny_cfg(tmp_path, max_steps=4, ckpt_every=100))
+    assert delta(resumed.params, full.params) < 1e-6
+    assert delta(resumed.ema_params, full.ema_params) < 1e-6
