@@ -6,37 +6,47 @@ load_data.py:86).  This script exercises the repo's equivalent runtime FOR
 REAL -- ``jax.distributed.initialize`` over gloo collectives, the per-host
 loader shard, ``make_array_from_process_local_data`` in ``shard_batch``
 (parallel/mesh.py), cross-process grad psums inside the jitted train step,
-and the rank-0 checkpoint + ``sync_global_devices`` barrier -- then proves
-loss/param parity against an in-process single-device replica of the same
-two steps.
+and the rank-0 checkpoint + ``sync_global_devices`` barrier -- in TWO phases:
+
+  A. fresh 2-step run that saves a collective Orbax checkpoint at step 2 and
+     must match an in-process single-device replica of the same steps;
+  B. both processes are gone (phase A's interpreters exited); NEW processes
+     relaunch with ``resume_from`` pointing at phase A's checkpoint, restore
+     params/EMA/optimizer state via Orbax, train 2 MORE steps, and must match
+     an UNINTERRUPTED single-device 4-step run.
+
+Phase B is the save->kill->relaunch->restore->continue cycle (the reference's
+restart contract, train.py:137-151, upgraded with optimizer-state fidelity).
 
 Run:  python tools/run_multiprocess_smoke.py           (launcher)
-      python tools/run_multiprocess_smoke.py --worker I --port P --dir D
+      python tools/run_multiprocess_smoke.py --worker I --phase a|b ...
 
-The launcher exits 0 iff both workers completed and printed the parity line.
+The launcher exits 0 iff all four workers completed and printed parity lines.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import os
 import subprocess
 import sys
 import tempfile
 
-STEPS = 2
+STEPS_A = 2
+STEPS_B = 4  # total steps after the resumed phase
 GLOBAL_BATCH = 8
 NUM_PROC = 2
 
 
-def _cfg(results_dir: str):
+def _cfg(results_dir: str, **over):
     from diffma_tpu.utils.config import Config
 
-    return Config(
+    cfg = Config(
         {
             "epochs": 1,
             "log_every": 1,
-            "ckpt_every": STEPS,  # exercises the rank-0 save + barrier
+            "ckpt_every": STEPS_A,  # exercises the collective save + barrier
             "accumulation_steps": 1,
             "lr": 1e-4,
             "results_dir": results_dir,
@@ -48,34 +58,24 @@ def _cfg(results_dir: str):
             "d_state": 4,
             "synthetic_data": True,
             "synthetic_dataset_size": 32,
-            "max_steps": STEPS,
+            "max_steps": STEPS_A,
         }
     )
+    cfg.update(over)
+    return cfg
 
 
-def worker(idx: int, port: int, results_dir: str) -> None:
-    # env (JAX_PLATFORMS/XLA_FLAGS/DIFFMA_*) is set by the launcher BEFORE
-    # interpreter start; train.main's _maybe_distributed does the
-    # jax.distributed.initialize itself -- the path under test.
+def _replica(cfg, steps: int):
+    """Single-device replica of ``steps`` uninterrupted train.main steps.
+
+    main's rng stream: PRNGKey(seed) -> split(init) -> per step
+    split(rng, 3) -> (enc, step).  Every process draws the SAME synthetic
+    host batch, so the global batch is the host batch tiled NUM_PROC x.
+    """
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
     import jax.numpy as jnp
-    import numpy as np
     import optax
 
-    from diffma_tpu.train import train as train_mod
-
-    cfg = _cfg(results_dir)
-    state = train_mod.main(cfg)
-    assert jax.process_count() == NUM_PROC, jax.process_count()
-    assert int(state.step) == STEPS
-
-    # --- single-device replica of the same two steps ----------------------
-    # main's rng stream: PRNGKey(seed) -> split(init) -> per step
-    # split(rng, 3) -> (enc, step).  Every process draws the SAME synthetic
-    # host batch, so the global batch is the host batch tiled NUM_PROC x.
     from diffma_tpu.diffusion import create_diffusion
     from diffma_tpu.models.diffma import build_model
     from diffma_tpu.train.state import TrainState, make_train_step
@@ -101,33 +101,74 @@ def worker(idx: int, port: int, results_dir: str) -> None:
     step_fn = jax.jit(make_train_step(
         make_loss_fn(model, create_diffusion("")), optimizer,
     ))
-    for _ in range(STEPS):
+    for _ in range(steps):
         rng, enc_rng, step_rng = jax.random.split(rng, 3)
         b = synthetic_batch(enc_rng, host_batch, latent, tokens)
         batch = jax.tree.map(
             lambda a: jnp.concatenate([a] * NUM_PROC, axis=0), b
         )
-        replica, metrics = step_fn(replica, batch, step_rng)
+        replica, _metrics = step_fn(replica, batch, step_rng)
+    return replica
+
+
+def _max_err(a, b):
+    import jax
+    import jax.numpy as jnp
 
     errs = jax.tree.map(
-        lambda a, b: float(jnp.abs(jnp.asarray(jax.device_get(a)) - b).max()),
-        state.params, jax.device_get(replica.params),
+        lambda x, y: float(
+            jnp.abs(jnp.asarray(jax.device_get(x)) - jax.device_get(y)).max()
+        ),
+        a, b,
     )
-    max_err = max(jax.tree.leaves(errs))
-    assert max_err < 1e-5, f"multi-process != single-device params: {max_err}"
-    if idx == 0:
-        ckpts = [
-            p for root, _, fs in os.walk(results_dir) for p in fs
-        ]
-        assert ckpts, "rank 0 should have checkpointed at step 2"
-    print(f"MULTIPROC PARITY OK rank={idx} "
-          f"procs={jax.process_count()} max_param_err={max_err:.2e}",
-          flush=True)
+    return max(jax.tree.leaves(errs))
 
 
-def launch() -> int:
-    port = 12377
-    tmp = tempfile.mkdtemp(prefix="diffma_mp_")
+def worker(idx: int, phase: str, results_dir: str, ckpt_dir: str | None) -> None:
+    # env (JAX_PLATFORMS/XLA_FLAGS/DIFFMA_*) is set by the launcher BEFORE
+    # interpreter start; train.main's _maybe_distributed does the
+    # jax.distributed.initialize itself -- the path under test.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from diffma_tpu.train import train as train_mod
+
+    if phase == "a":
+        cfg = _cfg(results_dir)
+        state = train_mod.main(cfg)
+        assert jax.process_count() == NUM_PROC, jax.process_count()
+        assert int(state.step) == STEPS_A
+        max_err = _max_err(state.params, _replica(cfg, STEPS_A).params)
+        assert max_err < 1e-5, f"multi-process != single-device: {max_err}"
+        if idx == 0:
+            ckpts = [p for _, _, fs in os.walk(results_dir) for p in fs]
+            assert ckpts, "rank 0 should have checkpointed at step 2"
+        print(f"MULTIPROC PARITY OK rank={idx} "
+              f"procs={jax.process_count()} max_param_err={max_err:.2e}",
+              flush=True)
+        return
+
+    # ---- phase b: fresh processes restore the phase-A checkpoint ---------
+    assert ckpt_dir, "phase b needs --ckpt"
+    cfg = _cfg(
+        results_dir, resume_from=ckpt_dir, max_steps=STEPS_B,
+        ckpt_every=10**9,
+    )
+    state = train_mod.main(cfg)
+    assert jax.process_count() == NUM_PROC, jax.process_count()
+    assert int(state.step) == STEPS_B, int(state.step)
+
+    full = _replica(cfg, STEPS_B)  # uninterrupted 4-step ground truth
+    p_err = _max_err(state.params, full.params)
+    e_err = _max_err(state.ema_params, full.ema_params)
+    assert p_err < 1e-5, f"resumed params != uninterrupted run: {p_err}"
+    assert e_err < 1e-5, f"resumed EMA != uninterrupted run: {e_err}"
+    print(f"MULTIPROC RESUME PARITY OK rank={idx} "
+          f"max_param_err={p_err:.2e} max_ema_err={e_err:.2e}", flush=True)
+
+
+def _spawn(phase: str, port: int, tmp: str, ckpt: str | None):
     procs = []
     for i in range(NUM_PROC):
         env = dict(os.environ)
@@ -141,23 +182,41 @@ def launch() -> int:
             DIFFMA_PROCESS_ID=str(i),
             DIFFMA_COORDINATOR=f"localhost:{port}",
         )
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(i), "--port", str(port), "--dir", tmp],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True,
-            )
-        )
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+               "--phase", phase, "--dir", tmp]
+        if ckpt:
+            cmd += ["--ckpt", ckpt]
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    return procs
+
+
+def _await(procs, marker: str) -> bool:
     ok = True
     for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=1800)
-        if p.returncode != 0 or "MULTIPROC PARITY OK" not in out:
+        if p.returncode != 0 or marker not in out:
             ok = False
             print(f"--- worker {i} FAILED (rc={p.returncode}) ---")
             print(out[-4000:])
         else:
             print(out.strip().splitlines()[-1])
+    return ok
+
+
+def launch() -> int:
+    tmp = tempfile.mkdtemp(prefix="diffma_mp_")
+    ok = _await(_spawn("a", 12377, tmp, None), "MULTIPROC PARITY OK")
+    if ok:
+        # phase A's interpreters have exited (the "kill"); find its ckpt
+        ckpt_dirs = glob.glob(os.path.join(tmp, "*", "checkpoints"))
+        assert len(ckpt_dirs) == 1, ckpt_dirs
+        ok = _await(
+            _spawn("b", 12378, tmp, ckpt_dirs[0]),
+            "MULTIPROC RESUME PARITY OK",
+        )
     print("multi-process smoke:", "OK" if ok else "FAILED")
     return 0 if ok else 1
 
@@ -165,12 +224,13 @@ def launch() -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
-    ap.add_argument("--port", type=int, default=12377)
+    ap.add_argument("--phase", type=str, default="a", choices=("a", "b"))
     ap.add_argument("--dir", type=str, default=None)
+    ap.add_argument("--ckpt", type=str, default=None)
     args = ap.parse_args()
     if args.worker is None:
         return launch()
-    worker(args.worker, args.port, args.dir)
+    worker(args.worker, args.phase, args.dir, args.ckpt)
     return 0
 
 
