@@ -39,6 +39,7 @@ and emits input + all weight gradients as closed-form matmul adjoints.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,18 @@ from diffma_tpu.ops.selective_scan import _COMPILER_PARAMS, _interpret, _silu
 from diffma_tpu.ops.ssd import ssd_chunked
 
 __all__ = ["mamba2_mixer_fused", "mamba2_dual_mixer_fused", "spiral_block_fused"]
+
+# Timing-only probe hatch (tools/probes/probe_ssd_vpu.py): replace the
+# per-head decay exp with a 1-op surrogate to measure how much of the
+# kernel's time the VPU transcendentals cost.  NEVER set in production --
+# the math is wrong by construction.
+_DECAY_SURROGATE = os.environ.get("DIFFMA_SSD_DECAY_SURROGATE") == "1"
+
+
+def _decay_exp(diff, tril_f32):
+    if _DECAY_SURROGATE:
+        return diff * tril_f32  # masked, exp-free; timing probe only
+    return jnp.exp(diff)
 
 
 def _mdot(mask, a, cd, transpose_mask=False):
@@ -129,10 +142,12 @@ def _ssd_kernel(
         (wm_ref, lnw_ref, lnb_ref, mods_ref,
          out_ref, zxbuf, xbcbuf, csbuf, ybuf, accbuf) = rest
     elif want_res:
-        # training entry: also emit the post-permute stream tensor and the
-        # pre-norm SSD output so the backward kernel can skip the in_proj /
-        # permute / head-loop recompute (see _ssd_bwd_kernel)
-        (out_ref, xsout_ref, ysout_ref,
+        # training entry: also emit the post-permute stream tensor (conv+dt
+        # columns only -- the gate z never rides the permutes, see below),
+        # the original-order z, and the unpermuted pre-gate SSD outputs so
+        # the backward kernel can skip the in_proj / permute / head-loop
+        # recompute (see _ssd_bwd_kernel)
+        (out_ref, xsout_ref, zout_ref, ysout_ref,
          zxbuf, xbcbuf, csbuf, ybuf, accbuf) = rest
     else:
         out_ref, zxbuf, xbcbuf, csbuf, ybuf, accbuf = rest
@@ -188,21 +203,31 @@ def _ssd_kernel(
     # (cheaper than a per-head where on the VPU).
     neg = jnp.where(tril, 0.0, -1e30)  # (L, L) fp32
 
+    # The gate z is row-wise all the way to the merge (silu-gate + RMSNorm
+    # act per token), and every stream is a row permutation / row selection
+    # of the same sequence -- so z never needs to ride the permute matmuls:
+    # gate AFTER un-permuting the SSD output, in original row order.  This
+    # cuts the fan-out permute from dproj to conv_dim + H columns and drops
+    # the merge-side permute of the normed output entirely.
+    z_orig = zxbuf[:, :d].astype(jnp.float32)  # (L, d) original order
+    silz = _silu(z_orig)
+    if want_res:
+        zout_ref[0] = zxbuf[:, :d]
+
     for s in range(S):
-        Ps = P_ref[s]  # (L, L) fp32 one-hot, zero pad rows
+        Ps = P_ref[s]  # (Lr, L) fp32 one-hot, zero pad rows
         if ident[s]:
-            xs = zxbuf[...]
+            xs = zxbuf[:, d:]
         else:
             xs = jnp.dot(
-                Ps.astype(cd), zxbuf[...],
+                Ps.astype(cd), zxbuf[:, d:],
                 preferred_element_type=jnp.float32, precision=prec,
-            ).astype(cd)  # (L, 2d + 2n + H)
+            ).astype(cd)  # (Lr, 2n + d + H)
         if want_res:
             xsout_ref[0, s] = xs
 
-        z = xs[:, :d]
-        xbc_in = xs[:, d : d + conv_dim].astype(jnp.float32)
-        dtraw = xs[:, d + conv_dim :].astype(jnp.float32)  # (L, H)
+        xbc_in = xs[:, :conv_dim].astype(jnp.float32)
+        dtraw = xs[:, conv_dim:].astype(jnp.float32)  # (Lr, H)
 
         # causal depthwise conv, K taps, zero left-pad
         acc = xbc_in * convw[K - 1][None, :]
@@ -247,7 +272,7 @@ def _ssd_kernel(
         for h in range(H):
             # masked decay for head h: exp(cs_t - cs_s) on the causal tril
             diff = csbuf[:, h : h + 1] - csT[h : h + 1, :] + neg  # (L, L)
-            mh = cb * jnp.exp(diff)
+            mh = cb * _decay_exp(diff, trilf)
             # dtype-faithful operands: single MXU pass for bf16 models (the
             # composable path's DEFAULT-precision fp32 einsum multi-passes)
             ybuf[:, h * hd : (h + 1) * hd] = jnp.dot(
@@ -255,27 +280,29 @@ def _ssd_kernel(
                 preferred_element_type=jnp.float32, precision=prec,
             )
 
-        y = ybuf[...] + D_exp * xssm  # (L, d) fp32
+        y = ybuf[...] + D_exp * xssm  # (Lr, d) fp32, permuted rows
+
+        # un-permute FIRST (acts on the pre-gate y), then gate + RMSNorm in
+        # original row order -- row-wise ops commute with the row (un)permute,
+        # and for partition streams the scattered zero rows stay zero through
+        # the gate (silu(z)*0) and the norm (0 * rsqrt(eps) * w = 0).
+        if ident[s]:
+            yhat = y
+        else:
+            yhat = lax.dot_general(
+                Ps.astype(cd), y.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (L, d) = P_s^T @ y_s
         if want_res:
-            ysout_ref[0, s] = y.astype(ysout_ref.dtype)
+            ysout_ref[0, s] = yhat.astype(ysout_ref.dtype)
 
         # gated RMSNorm (gate first, single group spanning d:
         # block/mamba2.py:347-350 with norm_before_gate=False)
-        zf = z.astype(jnp.float32)
-        yg = y * _silu(zf)
+        yg = yhat * silz
         rms = lax.rsqrt(
             jnp.mean(jnp.square(yg), axis=-1, keepdims=True) + eps
         )
-        yn = yg * rms * normw[0][None, :]  # (L, d) fp32
-
-        # inverse-permute merge on the MXU: acc += P_s^T @ y_s
-        if ident[s]:
-            accbuf[...] += yn
-        else:
-            accbuf[...] += lax.dot_general(
-                Ps.astype(cd), yn.astype(cd), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+        accbuf[...] += yg * rms * normw[0][None, :]  # (L, d) fp32
 
     merged = (accbuf[...] * scale).astype(cd)
     out_ref[0] = jnp.dot(
@@ -381,15 +408,18 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
     if want_res:
         out_specs = [
             pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Lr, dproj), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, S, Lr, dproj - d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Lr, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, L, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, L, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((G, L, h), x.dtype),
-            jax.ShapeDtypeStruct((G, S, Lr, dproj), x.dtype),
-            jax.ShapeDtypeStruct((G, S, Lr, d), x.dtype),
+            jax.ShapeDtypeStruct((G, S, Lr, dproj - d), x.dtype),
+            jax.ShapeDtypeStruct((G, L, d), x.dtype),
+            jax.ShapeDtypeStruct((G, S, L, d), x.dtype),
         ]
     else:
         out_specs = pl.BlockSpec(
@@ -418,7 +448,7 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
         interpret=_interpret(),
     )(x, *ops, P, *extra_ops)
     if want_res:
-        out, xs_all, ys_all = out
+        out, xs_all, z_all, ys_all = out
     if prologue is not None:
         out = out.reshape(2, B_, L, h)
         return out if keep_pad else out[:, :, :L0]
@@ -426,13 +456,13 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
     if stacked:
         out = out.reshape(M, B_, L0, h)
     if want_res:
-        return out, xs_all, ys_all
+        return out, xs_all, z_all, ys_all
     return out
 
 
 def _ssd_bwd_kernel(
     x_ref, g_ref, inw_ref, convw_ref, convb_ref, dtb_ref, A_ref, D_ref,
-    normw_ref, outw_ref, P_ref, xsres_ref, ysres_ref,
+    normw_ref, outw_ref, P_ref, xsres_ref, zres_ref, ysres_ref,
     gx_ref, gin_ref, gconvw_ref, gconvb_ref, gdtb_ref, gA_ref, gD_ref,
     gnormw_ref, goutw_ref,
     accbuf, gzx,
@@ -440,14 +470,18 @@ def _ssd_bwd_kernel(
 ):
     """Hand-derived backward for the fused SSD mixer: ONE Pallas call that
     consumes the forward kernel's residual outputs (``xsres`` = post-permute
-    projection streams, ``ysres`` = pre-norm SSD outputs) and emits input +
-    all weight gradients.  Reading the residuals skips recomputing in_proj,
-    the one-hot permute dots and the whole head loop + decay exps (~20% of
-    the kernel's matmul FLOPs at B/2 shapes for ~2.6 MB/elem extra HBM);
+    conv+dt stream columns, ``zres`` = original-order gate, ``ysres`` =
+    un-permuted pre-gate SSD outputs) and emits input + all weight
+    gradients.  Reading the residuals skips recomputing in_proj, the
+    one-hot permute dots and the whole head loop + decay exps (~20% of
+    the kernel's matmul FLOPs at B/2 shapes for ~2 MB/elem extra HBM);
     conv / dt / the cumsum are recomputed from xs, which is cheaper than
-    storing them.  The chunkless SSD backward is closed-form matmuls --
-    mh^T @ g_y, g_y @ xdt^T, decay-weighted sums -- so, unlike Mamba-1, no
-    sequential adjoint recurrence is needed.
+    storing them.  Because the gate rides in original row order (see
+    ``_ssd_kernel``), the gated-norm adjoint needs no permutes and the
+    forward-side merge recompute (for g_out_w) is a plain accumulation.
+    The chunkless SSD backward is closed-form matmuls -- mh^T @ g_y,
+    g_y @ xdt^T, decay-weighted sums -- so, unlike Mamba-1, no sequential
+    adjoint recurrence is needed.
 
     Weight-grad outputs use constant (per-mixer) index maps and accumulate
     across the sequential grid; they are zeroed when a new weight set first
@@ -501,10 +535,17 @@ def _ssd_bwd_kernel(
     accbuf[...] = jnp.zeros_like(accbuf)
     gzx[...] = jnp.zeros_like(gzx)
 
+    # gate activations, ONCE (original row order, shared by every stream)
+    z = zres_ref[0].astype(f32)  # (L, d)
+    sgz = jax.nn.sigmoid(z)
+    silz = z * sgz
+    dsilz = sgz * (1.0 + z * (1.0 - sgz))
+    g_yn = g_merged * scale  # same for every stream: merge is a plain sum
+
     # ---- single pass: cheap recompute from residuals + adjoint ----------
     for s in range(S):
-        xs = xsres_ref[0, s]  # (Lr, dproj) cd, post-permute
-        xbc_in = xs[:, d : d + conv_dim].astype(f32)
+        xs = xsres_ref[0, s]  # (Lr, conv_dim + H) cd, post-permute
+        xbc_in = xs[:, :conv_dim].astype(f32)
         acc = xbc_in * convw[K - 1][None, :]
         for k in range(K - 1):
             sh = K - 1 - k
@@ -517,7 +558,7 @@ def _ssd_bwd_kernel(
         xssm = xbc[:, :d]
         Bm = xbc[:, d : d + n]
         Cm = xbc[:, d + n :]
-        dtraw = xs[:, d + conv_dim :].astype(f32)
+        dtraw = xs[:, conv_dim:].astype(f32)
         dt = jax.nn.softplus(dtraw + dtb[0][None, :])
         if clip:
             dt = jnp.clip(dt, dt_lo, dt_hi)
@@ -532,41 +573,29 @@ def _ssd_bwd_kernel(
             Cm, Bm, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=prec,
         )
-        y = ysres_ref[0, s].astype(f32)  # (Lr, d) pre-norm SSD output
-        z = xs[:, :d].astype(f32)
-        sgz = jax.nn.sigmoid(z)
-        silz = z * sgz
-        dsilz = sgz * (1.0 + z * (1.0 - sgz))
-        yg = y * silz
+        yhat = ysres_ref[0, s].astype(f32)  # (L, d) un-permuted pre-gate
+        yg = yhat * silz
         rms = lax.rsqrt(jnp.mean(jnp.square(yg), axis=-1, keepdims=True) + eps)
-        # forward-side merge contribution (merged is needed for g_out_w)
-        yn = yg * rms * normw[0][None, :]
-        if ident[s]:
-            accbuf[...] += yn
-        else:
-            accbuf[...] += lax.dot_general(
-                P_ref[s].astype(cd), yn.astype(cd), (((0,), (0,)), ((), ())),
-                preferred_element_type=f32, precision=prec,
-            )
-
-        if ident[s]:
-            g_yn = g_merged * scale
-        else:
-            g_yn = (
-                jnp.dot(
-                    P_ref[s].astype(cd), g_merged.astype(cd),
-                    preferred_element_type=f32, precision=prec,
-                )
-                * scale
-            )
+        # forward-side merge contribution (merged is needed for g_out_w):
+        # plain accumulation -- the merge permute moved before the gate
+        accbuf[...] += yg * rms * normw[0][None, :]
 
         # gated RMSNorm backward: yn = yg * rms * w, rms row-wise
         _acc(gnormw_ref, jnp.sum(g_yn * yg * rms, axis=0, keepdims=True))
         gw = g_yn * normw[0][None, :]
         tsum = jnp.sum(gw * yg, axis=-1, keepdims=True)
         g_yg = gw * rms - (rms * rms * rms / d) * tsum * yg
-        g_y = g_yg * silz
-        g_z = g_yg * y * dsilz
+        g_yhat = g_yg * silz  # (L, d) original order
+        # gate grad accumulates across streams (z is shared, un-permuted)
+        gzx[:, :d] += g_yg * yhat * dsilz
+        # re-permute the SSD-output adjoint into this stream's row order
+        if ident[s]:
+            g_y = g_yhat
+        else:
+            g_y = jnp.dot(
+                P_ref[s].astype(cd), g_yhat.astype(cd),
+                preferred_element_type=f32, precision=prec,
+            )  # (Lr, d)
 
         _acc(
             gD_ref,
@@ -582,7 +611,7 @@ def _ssd_bwd_kernel(
         gxdt_parts, gcsr, gcsc = [], [], []
         for h in range(H):
             diff = cs[:, h : h + 1] - csT[h : h + 1, :] + neg
-            decay = jnp.exp(diff)
+            decay = _decay_exp(diff, trilf)
             mh = cb * decay
             g_yh = g_y_c[:, h * hd : (h + 1) * hd]
             gxdt_parts.append(
@@ -618,7 +647,7 @@ def _ssd_bwd_kernel(
         g_dA = _mdot(trilf, g_cs, cd, transpose_mask=True)
         g_dt += g_dA * A[0][None, :]
         _acc(gA_ref, jnp.sum(g_dA * dt, axis=0, keepdims=True))
-        dtraw = xs[:, d + conv_dim :].astype(f32)
+        dtraw = xs[:, conv_dim:].astype(f32)
         dtpre = dtraw + dtb[0][None, :]
         if clip:
             dtsp = jax.nn.softplus(dtpre)
@@ -631,7 +660,7 @@ def _ssd_bwd_kernel(
         sa = jax.nn.sigmoid(a)
         g_a = g_xbc * (sa * (1.0 + a * (1.0 - sa)))
         _acc(gconvb_ref, jnp.sum(g_a, axis=0, keepdims=True))
-        xbc_in = xs[:, d : d + conv_dim].astype(f32)
+        xbc_in = xs[:, :conv_dim].astype(f32)
         g_xc_in = g_a * convw[K - 1][None, :]
         rows = [None] * K
         rows[K - 1] = jnp.sum(xbc_in * g_a, axis=0, keepdims=True)
@@ -647,11 +676,12 @@ def _ssd_bwd_kernel(
             )
         _acc(gconvw_ref, jnp.concatenate(rows, axis=0))  # (K, conv_dim)
 
-        g_xs = jnp.concatenate([g_z, g_xc_in, g_dtraw], axis=1)  # (L, dproj)
+        # (Lr, conv_dim + H): the gate grad went straight into gzx[:, :d]
+        g_xs = jnp.concatenate([g_xc_in, g_dtraw], axis=1)
         if ident[s]:
-            gzx[...] += g_xs
+            gzx[:, d:] += g_xs
         else:
-            gzx[...] += lax.dot_general(
+            gzx[:, d:] += lax.dot_general(
                 P_ref[s].astype(cd), g_xs.astype(cd), (((0,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=prec,
             )  # P^T @ g_xs
@@ -681,9 +711,9 @@ def _ssd_bwd_kernel(
 
 def _launch_bwd(spec, x, g, weights, residuals, *, stacked, dt_limit, eps):
     """Backward launcher mirroring ``_launch``; consumes the forward's
-    residual outputs (xs_all, ys_all) and returns cotangents for
+    residual outputs (xs_all, z_all, ys_all) and returns cotangents for
     (x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w)."""
-    xs_all, ys_all = residuals
+    xs_all, z_all, ys_all = residuals
     in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w = weights
     if stacked:
         M, B_, L0, h = x.shape
@@ -753,9 +783,11 @@ def _launch_bwd(spec, x, g, weights, residuals, *, stacked, dt_limit, eps):
             pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *wspecs,
             pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Lr, dproj), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, S, Lr, dproj - d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Lr, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, L, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, L, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -777,7 +809,7 @@ def _launch_bwd(spec, x, g, weights, residuals, *, stacked, dt_limit, eps):
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(x, g.astype(x.dtype), *ops, P, xs_all, ys_all)
+    )(x, g.astype(x.dtype), *ops, P, xs_all, z_all, ys_all)
     gx, gin, gconvw, gconvb, gdtb, gA, gD, gnormw, goutw = outs
     gx = gx[:, :L0] if L != L0 else gx
     if stacked:
@@ -850,17 +882,17 @@ def mamba2_mixer_fused(
 
 def _vjp_fwd(spec, *args):
     *ws, dt_limit, eps, chunk_size = args
-    out, xs_all, ys_all = _launch(
+    out, xs_all, z_all, ys_all = _launch(
         spec, ws[0], tuple(ws[1:]), stacked=False,
         dt_limit=dt_limit, eps=eps, want_res=True,
     )
-    return out, (tuple(ws), xs_all, ys_all)
+    return out, (tuple(ws), xs_all, z_all, ys_all)
 
 
 def _vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
-    ws, xs_all, ys_all = res
+    ws, xs_all, z_all, ys_all = res
     return _launch_bwd(
-        spec, ws[0], g, tuple(ws[1:]), (xs_all, ys_all), stacked=False,
+        spec, ws[0], g, tuple(ws[1:]), (xs_all, z_all, ys_all), stacked=False,
         dt_limit=dt_limit, eps=eps,
     )
 
@@ -884,17 +916,17 @@ def mamba2_dual_mixer_fused(
 
 def _dual_vjp_fwd(spec, *args):
     *ws, dt_limit, eps, chunk_size = args
-    out, xs_all, ys_all = _launch(
+    out, xs_all, z_all, ys_all = _launch(
         spec, ws[0], tuple(ws[1:]), stacked=True,
         dt_limit=dt_limit, eps=eps, want_res=True,
     )
-    return out, (tuple(ws), xs_all, ys_all)
+    return out, (tuple(ws), xs_all, z_all, ys_all)
 
 
 def _dual_vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
-    ws, xs_all, ys_all = res
+    ws, xs_all, z_all, ys_all = res
     return _launch_bwd(
-        spec, ws[0], g, tuple(ws[1:]), (xs_all, ys_all), stacked=True,
+        spec, ws[0], g, tuple(ws[1:]), (xs_all, z_all, ys_all), stacked=True,
         dt_limit=dt_limit, eps=eps,
     )
 

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~18 min: 200 real train steps + DDIM-25
+
 from diffma_tpu.diffusion import create_diffusion
 from diffma_tpu.models.diffma import build_model
 from diffma_tpu.train.train import main, make_loss_fn, synthetic_batch
