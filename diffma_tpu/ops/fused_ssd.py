@@ -31,9 +31,10 @@ takes the standard merge) AND the atrous partition (eff_vmamba), which
 runs each L/S sub-sequence as its own scan via a partition spec.
 Differentiation runs through a hand-derived backward
 kernel (``_ssd_bwd_kernel``): one Pallas call consumes two residual
-tensors saved by the forward (post-permute projection streams and the
-pre-norm SSD outputs), cheaply re-derives the rest (conv, dt, cumsum),
-and emits input + all weight gradients as closed-form matmul adjoints.
+tensors saved by the forward (the post-permute conv+dt stream columns and
+the original-order gate z), cheaply re-derives the rest (conv, dt, cumsum,
+the pre-gate SSD outputs via the factored decay form), and emits input +
+all weight gradients as closed-form matmul adjoints.
 """
 
 from __future__ import annotations
@@ -66,6 +67,47 @@ __all__ = ["mamba2_mixer_fused", "mamba2_dual_mixer_fused", "spiral_block_fused"
 # kernel's time the VPU transcendentals cost.  NEVER set in production --
 # the math is wrong by construction.
 _DECAY_SURROGATE = os.environ.get("DIFFMA_SSD_DECAY_SURROGATE") == "1"
+
+# Decay-form selection.  The per-head causal decay exp(cs_t - cs_s) admits a
+# rank-1 factorisation exp(cs_t - m) * exp(m - cs_s) (m = per-head midpoint
+# of the cs span), which collapses the H per-head (L, L) @ (L, hd) matmuls
+# -- hd=64 half-fills the MXU's 128 lanes -- into ONE full-width
+# (L, L) @ (L, d) dot and drops the H*L^2 VPU decay construction to 2*L*H
+# exps.  The factorisation is exact-in-fp32 only while the per-head cs span
+# stays under _SAFE_RANGE log-units (beyond that the e^{+span/2} factor
+# loses the relative precision of near-diagonal pairs), so each stream
+# dispatches AT RUNTIME on its own span: a ``pl.when`` scalar branch inside
+# the kernel runs the factored epilogue when the span is inside the bound
+# and the per-head quadratic fallback otherwise.  Mosaic lowers the
+# scalar-predicated regions as real branches, so the untaken side costs
+# nothing at runtime (measured: auto == forced-factored on safe inputs).
+# Two rejected designs, both measured on the tunnelled v5e at B/2 bs64:
+# a per-ELEMENT select (jnp.where) computes both sides (~2x either form),
+# and an XLA-level ``lax.cond`` re-run dispatch costs ~2 ms per mixer call
+# (the pass-through branch materialises copies of the outputs and the
+# conditional fences the back-to-back kernel queue), ~+80% on the forward.
+# The branch decision is bit-stable across forward and backward: both
+# derive the span from the SAME cd-rounded post-permute stream residual
+# ``xs`` with identical ops, and a knife-edge flip would be harmless
+# anyway (both forms compute the same function; they differ by ~1e-6
+# relative at the bound).  Trained DiffMa models sit far inside the bound
+# (span ~ |A| * sum(dt) over <=196 tokens); the quadratic path is the
+# rare-input safety net.
+# DIFFMA_SSD_DECAY=quadratic|factored forces one form statically (A/B
+# probes); the surrogate hatch implies quadratic (it probes that form).
+_FORCED_DECAY = os.environ.get("DIFFMA_SSD_DECAY", "")
+_QUAD_ONLY = _DECAY_SURROGATE or _FORCED_DECAY == "quadratic"
+_SAFE_RANGE = 60.0
+
+
+def _static_decay_mode():
+    """'quadratic' / 'factored' when forced by env, else 'auto' (= per-stream
+    in-kernel ``pl.when`` dispatch on the runtime decay span)."""
+    if _QUAD_ONLY:
+        return "quadratic"
+    if _FORCED_DECAY == "factored":
+        return "factored"
+    return "auto"
 
 
 def _decay_exp(diff, tril_f32):
@@ -124,6 +166,7 @@ def _ssd_kernel(
     *rest,
     L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, Lr=None,
     prologue=False, nbatch=None, ln_eps=1e-5, want_res=False,
+    mode="auto",
 ):
     """One batch element: the whole SSD mixer with S unrolled streams.
 
@@ -139,18 +182,19 @@ def _ssd_kernel(
     disappears from HBM entirely."""
 
     if prologue:
-        (wm_ref, lnw_ref, lnb_ref, mods_ref,
-         out_ref, zxbuf, xbcbuf, csbuf, ybuf, accbuf) = rest
+        (wm_ref, lnw_ref, lnb_ref, mods_ref, out_ref, *rest) = rest
     elif want_res:
         # training entry: also emit the post-permute stream tensor (conv+dt
-        # columns only -- the gate z never rides the permutes, see below),
-        # the original-order z, and the unpermuted pre-gate SSD outputs so
-        # the backward kernel can skip the in_proj / permute / head-loop
-        # recompute (see _ssd_bwd_kernel)
-        (out_ref, xsout_ref, zout_ref, ysout_ref,
-         zxbuf, xbcbuf, csbuf, ybuf, accbuf) = rest
+        # columns only -- the gate z never rides the permutes, see below)
+        # and the original-order z so the backward kernel can skip the
+        # in_proj / fan-out permute recompute.  The pre-gate SSD outputs are
+        # NOT saved: with the factored decay form the backward re-derives
+        # y_pre in one full-width dot, cheaper than the HBM round-trip
+        # (see _ssd_bwd_kernel).
+        (out_ref, xsout_ref, zout_ref, *rest) = rest
     else:
-        out_ref, zxbuf, xbcbuf, csbuf, ybuf, accbuf = rest
+        (out_ref, *rest) = rest
+    zxbuf, xbcbuf, csbuf, ybuf, accbuf = rest
 
     def _w(ref):
         return ref[0] if ref.ndim == 3 else ref[...]
@@ -252,7 +296,6 @@ def _ssd_kernel(
         # split dot keeps ~f32 accuracy at 1/3 of HIGHEST's MXU passes.
         dA = dt * A[0][None, :]  # (L, H), A negative
         csbuf[...] = _mdot(trilf, dA, cd)
-        csT = jnp.transpose(csbuf[...])  # (H, L)
 
         # dt broadcast over each head's hd channels via the one-hot E
         # matmul.  Dtype-faithful precision: the product is cast to the
@@ -269,16 +312,53 @@ def _ssd_kernel(
         )  # (L, L): cb[t, s] = C_t . B_s
 
         xdt_c = xdt.astype(cd)
-        for h in range(H):
-            # masked decay for head h: exp(cs_t - cs_s) on the causal tril
-            diff = csbuf[:, h : h + 1] - csT[h : h + 1, :] + neg  # (L, L)
-            mh = cb * _decay_exp(diff, trilf)
-            # dtype-faithful operands: single MXU pass for bf16 models (the
-            # composable path's DEFAULT-precision fp32 einsum multi-passes)
-            ybuf[:, h * hd : (h + 1) * hd] = jnp.dot(
-                mh.astype(cd), xdt_c[:, h * hd : (h + 1) * hd],
-                preferred_element_type=jnp.float32, precision=prec,
+
+        def _y_quadratic():
+            csT = jnp.transpose(csbuf[...])  # (H, Lr)
+            for h in range(H):
+                # masked decay for head h: exp(cs_t - cs_s) on the tril
+                diff = csbuf[:, h : h + 1] - csT[h : h + 1, :] + neg
+                mh = cb * _decay_exp(diff, trilf)
+                # dtype-faithful operands: single MXU pass for bf16 models
+                # (the composable path's DEFAULT fp32 einsum multi-passes)
+                ybuf[:, h * hd : (h + 1) * hd] = jnp.dot(
+                    mh.astype(cd), xdt_c[:, h * hd : (h + 1) * hd],
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+        def _y_factored():
+            # exp(cs_t - cs_s) = e^{cs_t - m} * e^{m - cs_s}: the per-head
+            # (L, L) decay tiles never materialise and ALL heads ride one
+            # full-width (Lr, Lr) @ (Lr, d) dot.  cs is decreasing, so the
+            # midpoint shift bounds both factors by e^{span/2}; the clip
+            # only binds on the (quadratic-routed) unsafe inputs.
+            mid = 0.5 * (csbuf[0:1, :] + csbuf[Lr - 1 : Lr, :])  # (1, H)
+            ue = jnp.exp(jnp.clip(csbuf[...] - mid, -_SAFE_RANGE, _SAFE_RANGE))
+            ve = jnp.exp(jnp.clip(mid - csbuf[...], -_SAFE_RANGE, _SAFE_RANGE))
+            # head->channel expansion at fp32 (f32 DEFAULT multi-passes; the
+            # factors must not round to bf16 -- they carry the decay)
+            ue_d = jnp.dot(ue, E, preferred_element_type=jnp.float32,
+                           precision=prec)  # (Lr, d)
+            ve_d = jnp.dot(ve, E, preferred_element_type=jnp.float32,
+                           precision=prec)
+            cbm = (cb * trilf).astype(cd)
+            xv = (xdt * ve_d).astype(cd)
+            ybuf[...] = ue_d * jnp.dot(
+                cbm, xv, preferred_element_type=jnp.float32, precision=prec
             )
+
+        # runtime dispatch: a pl.when SCALAR branch per stream (Mosaic
+        # lowers it as a real branch -- the untaken side is free; a
+        # per-element select would compute both, see _static_decay_mode)
+        if mode == "quadratic":
+            _y_quadratic()
+        elif mode == "factored":
+            _y_factored()
+        else:
+            # cs is decreasing: per-head span = cs[0] - cs[last] >= 0
+            safe_s = jnp.max(csbuf[0:1, :] - csbuf[Lr - 1 : Lr, :]) < _SAFE_RANGE
+            pl.when(safe_s)(_y_factored)
+            pl.when(jnp.logical_not(safe_s))(_y_quadratic)
 
         y = ybuf[...] + D_exp * xssm  # (Lr, d) fp32, permuted rows
 
@@ -293,8 +373,6 @@ def _ssd_kernel(
                 Ps.astype(cd), y.astype(cd), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )  # (L, d) = P_s^T @ y_s
-        if want_res:
-            ysout_ref[0, s] = yhat.astype(ysout_ref.dtype)
 
         # gated RMSNorm (gate first, single group spanning d:
         # block/mamba2.py:347-350 with norm_before_gate=False)
@@ -356,12 +434,6 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
     K = conv_w.shape[-1]
 
     assert not (want_res and prologue is not None)
-    kernel = functools.partial(
-        _ssd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
-        scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
-        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), Lr=Lr,
-        prologue=prologue is not None, nbatch=B_, want_res=want_res,
-    )
     # weight operands, reshaped to 2-D (or 3-D with the leading M axis).
     # The big matmul weights (in/out projections) and the one-hot P are
     # pre-cast to the compute dtype: the kernel casts them before every dot
@@ -405,50 +477,59 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
             pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, h), xidx, memory_space=pltpu.VMEM),
         )
-    if want_res:
-        out_specs = [
-            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Lr, dproj - d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, L, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((G, L, h), x.dtype),
-            jax.ShapeDtypeStruct((G, S, Lr, dproj - d), x.dtype),
-            jax.ShapeDtypeStruct((G, L, d), x.dtype),
-            jax.ShapeDtypeStruct((G, S, L, d), x.dtype),
-        ]
-    else:
-        out_specs = pl.BlockSpec(
-            (1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    def _call(kmode, *, res):
+        kernel = functools.partial(
+            _ssd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
+            scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
+            dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), Lr=Lr,
+            prologue=prologue is not None, nbatch=B_, want_res=res,
+            mode=kmode,
         )
-        out_shape = jax.ShapeDtypeStruct((G, L, h), x.dtype)
-    out = pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, L, h), xidx, memory_space=pltpu.VMEM),
-            *wspecs,
-            pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            *extra_specs,
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((L, dproj), x.dtype),  # zxbuf
-            pltpu.VMEM((Lr, conv_dim), jnp.float32),  # xbcbuf
-            pltpu.VMEM((Lr, H), jnp.float32),  # csbuf
-            pltpu.VMEM((Lr, d), jnp.float32),  # ybuf
-            pltpu.VMEM((L, d), jnp.float32),  # accbuf
-        ],
-        compiler_params=_COMPILER_PARAMS,
-        interpret=_interpret(),
-    )(x, *ops, P, *extra_ops)
+        out_specs = [
+            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((G, L, h), x.dtype)]
+        if res:
+            out_specs += [
+                pl.BlockSpec((1, S, Lr, dproj - d), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((G, S, Lr, dproj - d), x.dtype),
+                jax.ShapeDtypeStruct((G, L, d), x.dtype),
+            ]
+        single = len(out_specs) == 1
+        return pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, L, h), xidx, memory_space=pltpu.VMEM),
+                *wspecs,
+                pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *extra_specs,
+            ],
+            out_specs=out_specs[0] if single else out_specs,
+            out_shape=out_shape[0] if single else out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((L, dproj), x.dtype),  # zxbuf
+                pltpu.VMEM((Lr, conv_dim), jnp.float32),  # xbcbuf
+                pltpu.VMEM((Lr, H), jnp.float32),  # csbuf
+                pltpu.VMEM((Lr, d), jnp.float32),  # ybuf
+                pltpu.VMEM((L, d), jnp.float32),  # accbuf
+            ],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=_interpret(),
+        )(x, *ops, P, *extra_ops)
+
+    r = _call(_static_decay_mode(), res=want_res)
     if want_res:
-        out, xs_all, z_all, ys_all = out
+        out, xs_all, z_all = r
+    else:
+        out = r
     if prologue is not None:
         out = out.reshape(2, B_, L, h)
         return out if keep_pad else out[:, :, :L0]
@@ -456,32 +537,35 @@ def _launch(spec, x, weights, *, stacked, dt_limit, eps, prologue=None,
     if stacked:
         out = out.reshape(M, B_, L0, h)
     if want_res:
-        return out, xs_all, z_all, ys_all
+        return out, xs_all, z_all
     return out
 
 
 def _ssd_bwd_kernel(
     x_ref, g_ref, inw_ref, convw_ref, convb_ref, dtb_ref, A_ref, D_ref,
-    normw_ref, outw_ref, P_ref, xsres_ref, zres_ref, ysres_ref,
+    normw_ref, outw_ref, P_ref, xsres_ref, zres_ref,
     gx_ref, gin_ref, gconvw_ref, gconvb_ref, gdtb_ref, gA_ref, gD_ref,
     gnormw_ref, goutw_ref,
-    accbuf, gzx,
+    accbuf, gzx, ypre, gxdt, gcb,
     *, L, d, n, H, hd, S, scale, ident, eps, dt_lo, dt_hi, winit, Lr=None,
+    mode="auto",
 ):
     """Hand-derived backward for the fused SSD mixer: ONE Pallas call that
     consumes the forward kernel's residual outputs (``xsres`` = post-permute
-    conv+dt stream columns, ``zres`` = original-order gate, ``ysres`` =
-    un-permuted pre-gate SSD outputs) and emits input + all weight
-    gradients.  Reading the residuals skips recomputing in_proj, the
-    one-hot permute dots and the whole head loop + decay exps (~20% of
-    the kernel's matmul FLOPs at B/2 shapes for ~2 MB/elem extra HBM);
-    conv / dt / the cumsum are recomputed from xs, which is cheaper than
-    storing them.  Because the gate rides in original row order (see
-    ``_ssd_kernel``), the gated-norm adjoint needs no permutes and the
-    forward-side merge recompute (for g_out_w) is a plain accumulation.
-    The chunkless SSD backward is closed-form matmuls -- mh^T @ g_y,
-    g_y @ xdt^T, decay-weighted sums -- so, unlike Mamba-1, no sequential
-    adjoint recurrence is needed.
+    conv+dt stream columns, ``zres`` = original-order gate) and emits input
+    + all weight gradients.  Reading the residuals skips recomputing
+    in_proj and the fan-out permute dots; conv / dt / the cumsum / the
+    pre-gate SSD output y_pre are recomputed from xs, which -- with the
+    factored decay form (see ``_SAFE_RANGE``) pricing y_pre at one
+    full-width dot -- is cheaper than the HBM round-trip of storing them.
+    Because the gate rides in original row order (see ``_ssd_kernel``),
+    the gated-norm adjoint needs no permutes and the forward-side merge
+    recompute (for g_out_w) is a plain accumulation.  The chunkless SSD
+    backward is closed-form matmuls, and in the factored form the decay
+    reductions collapse to elementwise products + one-hot head folds:
+    g_cb = (ue.g_y) @ (ve.xdt)^T, g_cs rows = <g_y, y_pre> per head,
+    g_cs cols = <xdt, g_xdt> per head -- so, unlike Mamba-1, no sequential
+    adjoint recurrence (and no per-head loop) is needed on the safe path.
 
     Weight-grad outputs use constant (per-mixer) index maps and accumulate
     across the sequential grid; they are zeroed when a new weight set first
@@ -564,7 +648,6 @@ def _ssd_bwd_kernel(
             dt = jnp.clip(dt, dt_lo, dt_hi)
         dA = dt * A[0][None, :]
         cs = _mdot(trilf, dA, cd)
-        csT = jnp.transpose(cs)
         dt_exp = jnp.dot(
             dt, E, preferred_element_type=f32, precision=prec
         )
@@ -573,7 +656,60 @@ def _ssd_bwd_kernel(
             Cm, Bm, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=prec,
         )
-        yhat = ysres_ref[0, s].astype(f32)  # (L, d) un-permuted pre-gate
+        xdt_cd = xdt.astype(cd)
+
+        # the factored form's rank-1 decay factors (head-expanded).  Cheap
+        # ((Lr, H) exps + two thin one-hot dots), so the auto-dispatch
+        # branches recompute them rather than carrying scratch across the
+        # two branch sites below.
+        def _fac_parts():
+            mid = 0.5 * (cs[0:1, :] + cs[Lr - 1 : Lr, :])  # (1, H)
+            ue = jnp.exp(jnp.clip(cs - mid, -_SAFE_RANGE, _SAFE_RANGE))
+            ve = jnp.exp(jnp.clip(mid - cs, -_SAFE_RANGE, _SAFE_RANGE))
+            ue_d = jnp.dot(ue, E, preferred_element_type=f32, precision=prec)
+            ve_d = jnp.dot(ve, E, preferred_element_type=f32, precision=prec)
+            return ue_d, ve_d
+
+        # ---- recompute the pre-gate SSD output y_pre (permuted rows) ----
+        # same per-stream runtime branch as the forward kernel; the span is
+        # re-derived from the SAME cd-rounded xs residual with identical
+        # ops, so the decision matches the forward's bit-for-bit
+        def _ypre_quadratic():
+            csT = jnp.transpose(cs)
+            for h_ in range(H):
+                diff = cs[:, h_ : h_ + 1] - csT[h_ : h_ + 1, :] + neg
+                mh = cb * _decay_exp(diff, trilf)
+                ypre[:, h_ * hd : (h_ + 1) * hd] = jnp.dot(
+                    mh.astype(cd), xdt_cd[:, h_ * hd : (h_ + 1) * hd],
+                    preferred_element_type=f32, precision=prec,
+                )
+
+        def _ypre_factored():
+            ue_d, ve_d = _fac_parts()
+            cbm = (cb * trilf).astype(cd)
+            xv = (xdt * ve_d).astype(cd)
+            ypre[...] = ue_d * jnp.dot(
+                cbm, xv, preferred_element_type=f32, precision=prec
+            )
+
+        if mode == "auto":
+            safe_s = jnp.max(cs[0:1, :] - cs[Lr - 1 : Lr, :]) < _SAFE_RANGE
+            unsafe_s = jnp.logical_not(safe_s)
+            pl.when(safe_s)(_ypre_factored)
+            pl.when(unsafe_s)(_ypre_quadratic)
+        elif mode == "quadratic":
+            _ypre_quadratic()
+        else:
+            _ypre_factored()
+
+        y = ypre[...] + D_exp * xssm  # (Lr, d) permuted rows
+        if ident[s]:
+            yhat = y
+        else:
+            yhat = lax.dot_general(
+                P_ref[s].astype(cd), y.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )  # (L, d) = P_s^T @ y_s, un-permuted pre-gate
         yg = yhat * silz
         rms = lax.rsqrt(jnp.mean(jnp.square(yg), axis=-1, keepdims=True) + eps)
         # forward-side merge contribution (merged is needed for g_out_w):
@@ -606,33 +742,56 @@ def _ssd_bwd_kernel(
         )  # M=1: HIGHEST is cost-free here
         g_xssm = D_exp * g_y
         g_y_c = g_y.astype(cd)
-        xdt_cd = xdt.astype(cd)
-        g_cb = jnp.zeros((Lr, Lr), f32)
-        gxdt_parts, gcsr, gcsc = [], [], []
-        for h in range(H):
-            diff = cs[:, h : h + 1] - csT[h : h + 1, :] + neg
-            decay = _decay_exp(diff, trilf)
-            mh = cb * decay
-            g_yh = g_y_c[:, h * hd : (h + 1) * hd]
-            gxdt_parts.append(
-                lax.dot_general(
+
+        # ---- SSD adjoint: g_xdt = mh^T @ g_y and g_cb = sum_h g_mh.decay
+        def _adj_quadratic():
+            csT = jnp.transpose(cs)
+            acc_cb = jnp.zeros((Lr, Lr), f32)
+            for h_ in range(H):
+                diff = cs[:, h_ : h_ + 1] - csT[h_ : h_ + 1, :] + neg
+                decay = _decay_exp(diff, trilf)
+                mh = cb * decay
+                g_yh = g_y_c[:, h_ * hd : (h_ + 1) * hd]
+                gxdt[:, h_ * hd : (h_ + 1) * hd] = lax.dot_general(
                     mh.astype(cd), g_yh, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32, precision=prec,
-                )
-            )  # mh^T @ g_yh
-            g_mh = lax.dot_general(
-                g_yh, xdt_cd[:, h * hd : (h + 1) * hd],
-                (((1,), (1,)), ((), ())),
+                )  # mh^T @ g_yh
+                g_mh = lax.dot_general(
+                    g_yh, xdt_cd[:, h_ * hd : (h_ + 1) * hd],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32, precision=prec,
+                )  # (L, L) = g_yh @ xdt_h^T
+                acc_cb += g_mh * decay
+            gcb[...] = acc_cb
+
+        def _adj_factored():
+            ue_d, ve_d = _fac_parts()
+            cbm = (cb * trilf).astype(cd)
+            xv = (xdt * ve_d).astype(cd)
+            gyu = (g_y * ue_d).astype(cd)
+            gxdt[...] = ve_d * lax.dot_general(
+                cbm, gyu, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=prec,
-            )  # (L, L) = g_yh @ xdt_h^T
-            g_cb += g_mh * decay
-            g_diff = g_mh * mh
-            gcsr.append(jnp.sum(g_diff, axis=1, keepdims=True))
-            gcsc.append(jnp.sum(g_diff, axis=0, keepdims=True))
-        g_xdt = jnp.concatenate(gxdt_parts, axis=1)  # (L, d)
-        g_cs = jnp.concatenate(gcsr, axis=1) - jnp.transpose(
-            jnp.concatenate(gcsc, axis=0)
-        )  # (L, H)
+            )  # cbm^T @ (ue.g_y), de-scaled by ve
+            gcb[...] = trilf * lax.dot_general(
+                gyu, xv, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )  # (ue.g_y) @ (ve.xdt)^T on the tril
+
+        if mode == "auto":
+            pl.when(safe_s)(_adj_factored)
+            pl.when(unsafe_s)(_adj_quadratic)
+        elif mode == "quadratic":
+            _adj_quadratic()
+        else:
+            _adj_factored()
+
+        g_xdt = gxdt[...]
+        g_cb = gcb[...]
+        # g_cs via branch-independent head folds: the decay-weighted row/col
+        # sums of g_mh collapse to elementwise inner products per head --
+        # rows: <g_y, y_pre>_h;  cols: <xdt, g_xdt>_h  (both (Lr, H))
+        g_cs = _dotm(g_y * ypre[...], ET, cd) - _dotm(xdt * g_xdt, ET, cd)
         g_C = jnp.dot(
             g_cb.astype(cd), Bm.astype(cd),
             preferred_element_type=f32, precision=prec,
@@ -711,9 +870,13 @@ def _ssd_bwd_kernel(
 
 def _launch_bwd(spec, x, g, weights, residuals, *, stacked, dt_limit, eps):
     """Backward launcher mirroring ``_launch``; consumes the forward's
-    residual outputs (xs_all, z_all, ys_all) and returns cotangents for
-    (x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w)."""
-    xs_all, z_all, ys_all = residuals
+    residual outputs (xs_all, z_all) and returns cotangents for
+    (x, in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w).
+
+    The decay form needs no saved flag: the kernel re-derives each stream's
+    span from the xs residual and branches in-kernel exactly like the
+    forward (see the module comment)."""
+    xs_all, z_all = residuals
     in_w, conv_w, conv_b, dt_bias, A_log, D, norm_w, out_w = weights
     if stacked:
         M, B_, L0, h = x.shape
@@ -747,12 +910,6 @@ def _launch_bwd(spec, x, g, weights, residuals, *, stacked, dt_limit, eps):
     dproj = in_w.shape[-1]
     K = conv_w.shape[-1]
 
-    kernel = functools.partial(
-        _ssd_bwd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
-        scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
-        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), winit=winit,
-        Lr=Lr,
-    )
     A = -jnp.exp(A_log.astype(jnp.float32))
     # big matmul weights pre-cast to compute dtype (see _launch)
     ops = (
@@ -775,42 +932,59 @@ def _launch_bwd(spec, x, g, weights, residuals, *, stacked, dt_limit, eps):
     ]
     gshapes = ((h, dproj), (K, conv_dim), (1, conv_dim), (1, H), (1, H),
                (1, H), (1, d), (d, h))
-    outs = pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *wspecs,
-            pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Lr, dproj - d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, L, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, L, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            *[
-                pl.BlockSpec(lead(s), widx, memory_space=pltpu.VMEM)
-                for s in gshapes
+
+    def _call(kmode):
+        kernel = functools.partial(
+            _ssd_bwd_kernel, L=L, d=d, n=n, H=H, hd=hd, S=S,
+            scale=float(spec.scale), ident=_identity_streams(spec), eps=eps,
+            dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]), winit=winit,
+            Lr=Lr, mode=kmode,
+        )
+        return tuple(pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, L, h), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, h), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *wspecs,
+                pl.BlockSpec((S, Lr, L), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, Lr, dproj - d), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, L, h), x.dtype),
-            *[
-                jax.ShapeDtypeStruct(glead(s), jnp.float32) for s in gshapes
+            out_specs=[
+                pl.BlockSpec((1, L, h), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *[
+                    pl.BlockSpec(lead(s), widx, memory_space=pltpu.VMEM)
+                    for s in gshapes
+                ],
             ],
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((L, d), jnp.float32),  # accbuf
-            pltpu.VMEM((L, dproj), jnp.float32),  # gzx
-        ],
-        compiler_params=_COMPILER_PARAMS,
-        interpret=_interpret(),
-    )(x, g.astype(x.dtype), *ops, P, xs_all, z_all, ys_all)
-    gx, gin, gconvw, gconvb, gdtb, gA, gD, gnormw, goutw = outs
+            out_shape=[
+                jax.ShapeDtypeStruct((G, L, h), x.dtype),
+                *[
+                    jax.ShapeDtypeStruct(glead(s), jnp.float32)
+                    for s in gshapes
+                ],
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((L, d), jnp.float32),  # accbuf
+                pltpu.VMEM((L, dproj), jnp.float32),  # gzx
+                pltpu.VMEM((Lr, d), jnp.float32),  # ypre
+                pltpu.VMEM((Lr, d), jnp.float32),  # gxdt
+                pltpu.VMEM((Lr, Lr), jnp.float32),  # gcb
+            ],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=_interpret(),
+        )(x, g.astype(x.dtype), *ops, P, xs_all, z_all))
+
+    gx, gin, gconvw, gconvb, gdtb, gA, gD, gnormw, goutw = _call(
+        _static_decay_mode()
+    )
     gx = gx[:, :L0] if L != L0 else gx
     if stacked:
         gx = gx.reshape(M, B_, L0, h)
@@ -882,17 +1056,17 @@ def mamba2_mixer_fused(
 
 def _vjp_fwd(spec, *args):
     *ws, dt_limit, eps, chunk_size = args
-    out, xs_all, z_all, ys_all = _launch(
+    out, xs_all, z_all = _launch(
         spec, ws[0], tuple(ws[1:]), stacked=False,
         dt_limit=dt_limit, eps=eps, want_res=True,
     )
-    return out, (tuple(ws), xs_all, z_all, ys_all)
+    return out, (tuple(ws), xs_all, z_all)
 
 
 def _vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
-    ws, xs_all, z_all, ys_all = res
+    ws, xs_all, z_all = res
     return _launch_bwd(
-        spec, ws[0], g, tuple(ws[1:]), (xs_all, z_all, ys_all), stacked=False,
+        spec, ws[0], g, tuple(ws[1:]), (xs_all, z_all), stacked=False,
         dt_limit=dt_limit, eps=eps,
     )
 
@@ -916,17 +1090,17 @@ def mamba2_dual_mixer_fused(
 
 def _dual_vjp_fwd(spec, *args):
     *ws, dt_limit, eps, chunk_size = args
-    out, xs_all, z_all, ys_all = _launch(
+    out, xs_all, z_all = _launch(
         spec, ws[0], tuple(ws[1:]), stacked=True,
         dt_limit=dt_limit, eps=eps, want_res=True,
     )
-    return out, (tuple(ws), xs_all, z_all, ys_all)
+    return out, (tuple(ws), xs_all, z_all)
 
 
 def _dual_vjp_bwd(spec, dt_limit, eps, chunk_size, res, g):
-    ws, xs_all, z_all, ys_all = res
+    ws, xs_all, z_all = res
     return _launch_bwd(
-        spec, ws[0], g, tuple(ws[1:]), (xs_all, z_all, ys_all), stacked=True,
+        spec, ws[0], g, tuple(ws[1:]), (xs_all, z_all), stacked=True,
         dt_limit=dt_limit, eps=eps,
     )
 

@@ -208,6 +208,7 @@ def test_dual_branch_block_fused_grads():
         )
 
 
+@pytest.mark.slow
 def test_fused_composes_with_remat():
     """Per-block remat (jax.checkpoint) over the fused custom_vjp kernels
     must reproduce the non-remat gradients (the DiffMa-XXL/2 train path)."""
@@ -237,6 +238,7 @@ def test_fused_composes_with_remat():
         )
 
 
+@pytest.mark.slow
 def test_block_fused_spiral_matches_unfused():
     """fuse_block=True (whole SpiralMambaBlock as two Pallas calls) must
     match the mixer-fused path with the SAME param tree, fwd + grads."""
@@ -274,4 +276,61 @@ def test_block_fused_spiral_matches_unfused():
         scale = float(jnp.abs(np.asarray(a)).max()) + 1e-8
         np.testing.assert_allclose(
             np.asarray(b) / scale, np.asarray(a) / scale, rtol=2e-5, atol=2e-5
+        )
+
+
+def _span_args(scale_dt, seed=3, **kw):
+    """_args with dt shifted so every head's decay span lands decisively on
+    one side of the factored/quadratic runtime split (ops/fused_ssd.py
+    ``_SAFE_RANGE``): scale_dt < 0 pushes dt_bias very negative (softplus
+    -> tiny dt, span ~ 0 -> factored); large positive bias grows the span
+    past the bound -> quadratic."""
+    args = list(_args(seed=seed, **kw))
+    args[4] = jnp.full_like(args[4], scale_dt)  # dt_bias
+    return tuple(args)
+
+
+@pytest.mark.parametrize("dt_bias,branch", [(-6.0, "factored"), (0.65, "quadratic")])
+def test_decay_branches_match_composable(dt_bias, branch):
+    """Both runtime decay branches (factored rank-1 form and the quadratic
+    per-head fallback) must match the composable path in values AND grads.
+
+    dt_bias=-6 -> dt ~ softplus(-6+x) ~ 1e-2, per-head span << _SAFE_RANGE
+    (factored path); dt_bias=0.65 lands the max per-head span at ~70 --
+    past the bound (quadratic path) but still below fp32-exp overflow,
+    where the COMPOSABLE reference's chunked autodiff itself goes NaN
+    (measured: its grads are NaN from span ~90, the fused quadratic path
+    stays finite far beyond).  The span is asserted, not assumed."""
+    import diffma_tpu.ops.fused_ssd as fssd
+
+    spec = build_scan_spec("spiral", 4, 1)
+    args = _span_args(dt_bias)
+    x, in_w, conv_w, conv_b, dt_bias_a, A_log, D, norm_w, out_w = args
+    # verify which side of the split these inputs actually land on
+    zx = x @ in_w
+    d, n, H = 64, 8, 4
+    dtraw = zx[..., -H:]  # pre-conv dt columns (conv does not touch dt)
+    dt = jax.nn.softplus(dtraw + dt_bias_a)
+    span = float(jnp.max(jnp.sum(dt, axis=1) * jnp.exp(A_log)))
+    if branch == "factored":
+        assert span < fssd._SAFE_RANGE, span
+    else:
+        assert fssd._SAFE_RANGE < span < 85.0, span
+
+    def f_fused(*a):
+        return jnp.sum(jnp.tanh(mamba2_mixer_fused(spec, *a, _NOLIM, 1e-5, 256)))
+
+    def f_ref(*a):
+        return jnp.sum(
+            jnp.tanh(
+                _ssd_mixer_ref(spec, *a, dt_limit=_NOLIM, eps=1e-5, chunk_size=256)
+            )
+        )
+
+    v1, g1 = jax.value_and_grad(f_fused, argnums=(0, 1, 4, 5))(*args)
+    v2, g2 = jax.value_and_grad(f_ref, argnums=(0, 1, 4, 5))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
         )

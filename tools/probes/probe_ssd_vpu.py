@@ -68,11 +68,17 @@ def main():
     )
     specs = [build_scan_spec("spiral", LATENT // 2, i) for i in range(DEPTH)]
 
-    @jax.jit
     def mixers_fwd(x, weights):
         for i in range(DEPTH):
             x = mamba2_dual_mixer_fused(specs[i], x, *weights)
         return x
+
+    # reduce to a SCALAR inside the jit: fetching the (2, B, L, h) output
+    # itself would drag ~25 MB through the tunnel per timed window and
+    # dominate the measurement (observed: 500 ms "fwd" vs 63 ms fwd+bwd)
+    @jax.jit
+    def mixers_fwd_scalar(x, weights):
+        return jnp.sum(mixers_fwd(x, weights).astype(jnp.float32))
 
     @jax.jit
     def mixers_vg(x, weights):
@@ -81,7 +87,7 @@ def main():
 
         return jax.value_and_grad(f, argnums=(0, 1))(x, weights)
 
-    t_fwd = _time(mixers_fwd, x0, weights)
+    t_fwd = _time(mixers_fwd_scalar, x0, weights)
     t_vg = _time(mixers_vg, x0, weights)
     print(json.dumps({
         "decay_surrogate": _DECAY_SURROGATE,

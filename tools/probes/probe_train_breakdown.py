@@ -147,13 +147,19 @@ def main():
     )
     specs = [build_scan_spec("spiral", LATENT // 2, i) for i in range(DEPTH)]
 
-    @jax.jit
     def mixers_fwd(x, weights):
         for i in range(DEPTH):
             x = mamba2_dual_mixer_fused(specs[i], x, *weights)
         return x
 
-    t_mix_fwd = _time(mixers_fwd, x0, weights, reps=5)
+    # reduce to a SCALAR inside the jit: fetching the (2, B, L, h) output
+    # itself would drag ~25 MB through the tunnel per timed window and
+    # dominate the measurement (observed: 500 ms "fwd" vs 63 ms fwd+bwd)
+    @jax.jit
+    def mixers_fwd_scalar(x, weights):
+        return jnp.sum(mixers_fwd(x, weights).astype(jnp.float32))
+
+    t_mix_fwd = _time(mixers_fwd_scalar, x0, weights, reps=5)
     report["mixers_fwd_ms"] = round(1000 * t_mix_fwd, 2)
 
     @jax.jit
@@ -166,19 +172,23 @@ def main():
     t_mix_vg = _time(mixers_vg, x0, weights, reps=5)
     report["mixers_fwd_bwd_ms"] = round(1000 * t_mix_vg, 2)
 
-    # executed-FLOP estimate per dual-mixer fwd call (both branches):
-    # in_proj + permutes (3 streams x 2 (fan+merge) x L^2 d) + cumsum tril +
-    # cb + per-head decay matmuls + out_proj, x2 branches x batch
+    # executed-FLOP estimate per dual-mixer fwd call (both branches), at the
+    # post-gate-commute kernel (the fan-out permute carries only the conv+dt
+    # columns, the merge side un-permutes the pre-gate y; identity streams
+    # pay no permutes).  Terms: in_proj + per-stream (fan-out permute +
+    # cumsum tril + cb + per-head decay matmuls + merge un-permute) + out_proj.
+    from diffma_tpu.ops.fused_mixer import _identity_streams
+
     L, dmod, d, n, H = TOKENS, 512, 1024, 16, 16
+    conv_dim = d + 2 * n
     dproj = 2 * d + 2 * n + H
-    per_stream = (
-        2 * L * L * dproj  # fan-out permute
-        + 2 * L * L * H  # cumsum tril matmul
-        + 2 * L * L * n  # cb
-        + 2 * L * L * d  # head matmuls
-        + 2 * L * L * d  # merge permute
-    )
-    per_mixer = 2 * L * dmod * dproj + 3 * per_stream + 2 * L * d * dmod
+    ident = _identity_streams(spec0)
+    per_mixer = 2 * L * dmod * dproj + 2 * L * d * dmod
+    for s in range(len(ident)):
+        per_mixer += 2 * L * L * H + 2 * L * L * n + 2 * L * L * d
+        if not ident[s]:
+            per_mixer += 2 * L * L * (conv_dim + H)  # fan-out permute
+            per_mixer += 2 * L * L * d  # merge un-permute
     exec_flops_fwd = 2 * BATCH * DEPTH * per_mixer  # 2 branches
     report["mixers_exec_flops_fwd_tf"] = round(exec_flops_fwd / 1e12, 2)
     report["mixers_fwd_exec_util"] = round(
