@@ -67,6 +67,7 @@ def test_find_model_orbax_and_torch(tmp_path):
     np.testing.assert_array_equal(got["fc.weight"], np.ones((2, 2), np.float32))
 
 
+@pytest.mark.slow
 def test_load_diffma_params_converts_torch(tmp_path):
     torch = pytest.importorskip("torch")
     from diffma_tpu.models.diffma import DiffMa

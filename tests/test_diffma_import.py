@@ -71,6 +71,7 @@ def _diffma_sd(depth=2, d=64, n=8, patch=2, in_ch=4):
     return b.sd
 
 
+@pytest.mark.slow
 def test_diffma_import_matches_init_tree():
     depth, d, n = 2, 64, 8
     sd = _diffma_sd(depth=depth, d=d, n=n)

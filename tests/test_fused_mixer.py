@@ -70,6 +70,7 @@ def test_unpadded_length():
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("block_type,layer", [("spiral", 1), ("vim", 0)])
 def test_monolithic_bwd_matches_decomposed(monkeypatch, block_type, layer):
     """The monolithic backward kernel (one Pallas call: in-VMEM forward

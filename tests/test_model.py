@@ -85,6 +85,7 @@ def test_learn_sigma_false_output_channels():
     assert m.apply(vars_, *args).shape == (2, 4, 8, 8)
 
 
+@pytest.mark.slow
 def test_nonzero_after_perturbing_final_layer():
     """The network must produce signal once the zero-init is broken and be
     sensitive to the conditioning inputs."""
@@ -147,6 +148,7 @@ def test_forward_with_cfg():
     np.testing.assert_array_equal(np.asarray(out[:2, :3]), np.asarray(out[2:, :3]))
 
 
+@pytest.mark.slow
 def test_gradients_flow():
     m = DiffMa(input_size=8, patch_size=2, depth=2, block_type="spiral", d_state=4)
     args = _inputs()

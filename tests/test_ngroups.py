@@ -38,6 +38,7 @@ def _rand(key, *shape):
     return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
 
 
+@pytest.mark.slow
 def test_grouped_chunked_matches_per_group_ref():
     G, L, H, P, N, g = 2, 24, 6, 4, 3, 3
     Hg = H // g
@@ -132,6 +133,7 @@ def test_mamba2_ngroups_mixer_matches_reference_oracle():
     assert mae < 1e-5, f"grouped mixer MAE vs reference oracle: {mae}"
 
 
+@pytest.mark.slow
 def test_mamba2_ngroups_spiral_spec_and_grads():
     """Grouped mixer under a real multi-stream scan order; grads finite."""
     from diffma_tpu.ops.scan_orders import build_scan_spec

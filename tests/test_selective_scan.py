@@ -73,6 +73,7 @@ def test_pallas_forward_matches_ref(gated, L):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_assoc_grads_match_ref():
     u, delta, A, B, C, D, z = _make_inputs(G=1, L=14, d=8, n=4)
 

@@ -22,6 +22,7 @@ def _ssd_inputs(G=2, L=36, H=4, P=8, N=16, seed=0):
     return x, dt, A, B, C, D, dt_bias
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunk", [8, 16, 64])
 @pytest.mark.parametrize("L", [36, 64, 17])
 def test_ssd_chunked_matches_ref(chunk, L):
@@ -46,6 +47,7 @@ def test_ssd_dt_limit():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ssd_grads_match():
     x, dt, A, B, C, D, dt_bias = _ssd_inputs(G=1, L=24, H=2, P=4, N=4)
 

@@ -186,6 +186,7 @@ def _randomize(model, seed):
     return model
 
 
+@pytest.mark.slow
 def test_vae_importer_value_parity():
     tvae = _randomize(TVAE(), 0).eval()
     sd = {k: v.numpy() for k, v in tvae.state_dict().items()}
@@ -211,6 +212,7 @@ def test_vae_importer_value_parity():
     np.testing.assert_allclose(j_img, t_img, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vae_importer_legacy_attention_keys():
     """Legacy diffusers .bin dumps name the attention projections
     query/key/value/proj_attn; the importer must map them too."""

@@ -111,6 +111,7 @@ def _diffusers_vae_sd(ch=32, ch_mult=(1, 2), z=4):
     return b.sd
 
 
+@pytest.mark.slow
 def test_vae_import_matches_init_tree():
     sd = _diffusers_vae_sd()
     got = vae_params_from_torch(sd, ch_mult=(1, 2), num_res_blocks=2)
