@@ -74,40 +74,51 @@ _DECAY_SURROGATE = os.environ.get("DIFFMA_SSD_DECAY_SURROGATE") == "1"
 # -- hd=64 half-fills the MXU's 128 lanes -- into ONE full-width
 # (L, L) @ (L, d) dot and drops the H*L^2 VPU decay construction to 2*L*H
 # exps.  The factorisation is exact-in-fp32 only while the per-head cs span
-# stays under _SAFE_RANGE log-units (beyond that the e^{+span/2} factor
-# loses the relative precision of near-diagonal pairs), so each stream
-# dispatches AT RUNTIME on its own span: a ``pl.when`` scalar branch inside
-# the kernel runs the factored epilogue when the span is inside the bound
-# and the per-head quadratic fallback otherwise.  Mosaic lowers the
-# scalar-predicated regions as real branches, so the untaken side costs
-# nothing at runtime (measured: auto == forced-factored on safe inputs).
-# Two rejected designs, both measured on the tunnelled v5e at B/2 bs64:
-# a per-ELEMENT select (jnp.where) computes both sides (~2x either form),
-# and an XLA-level ``lax.cond`` re-run dispatch costs ~2 ms per mixer call
-# (the pass-through branch materialises copies of the outputs and the
-# conditional fences the back-to-back kernel queue), ~+80% on the forward.
-# The branch decision is bit-stable across forward and backward: both
-# derive the span from the SAME cd-rounded post-permute stream residual
-# ``xs`` with identical ops, and a knife-edge flip would be harmless
-# anyway (both forms compute the same function; they differ by ~1e-6
-# relative at the bound).  Trained DiffMa models sit far inside the bound
-# (span ~ |A| * sum(dt) over <=196 tokens); the quadratic path is the
-# rare-input safety net.
-# DIFFMA_SSD_DECAY=quadratic|factored forces one form statically (A/B
-# probes); the surrogate hatch implies quadratic (it probes that form).
+# stays under _SAFE_RANGE log-units: beyond it, near-diagonal pairs whose
+# factors BOTH clip lose their true decay entirely, so the form cannot be
+# extended to arbitrary spans.  The quadratic per-head form is exact at
+# every span.
+#
+# DEFAULT: the single-body QUADRATIC kernel.  Round 4 shipped "auto" -- a
+# per-stream ``pl.when`` runtime dispatch carrying BOTH bodies -- on the
+# assumption that Mosaic's real branches make the untaken side free.  The
+# round-5 A/B (tools/probes/probe_decay_dispatch.py, tunnelled v5e,
+# 2026-08-20) measured the dual-body kernel 22-28% SLOWER than either
+# single-body form, per grid cell, on BOTH branches and at BOTH bs8 and
+# bs64 (branch bodies double the program and its VMEM temporaries; the
+# vector->scalar span reduction adds a pipeline drain per stream), while
+# the two static forms sit within 3% of each other at sampling shapes
+# (bs8 fwd: quadratic 4.43 ms, factored 4.30 ms, auto 5.61 ms for the
+# 8-block dual-mixer stack).  On the full DDPM-250 headline that tax was
+# 9.69 vs 12.58 img/s -- the entire round-4 bench regression.  Exactness
+# at every span therefore costs ~nothing next to factored, and the
+# runtime dispatch costs ~25% next to either: the default is quadratic.
+#
+# DIFFMA_SSD_DECAY=factored opts into the rank-1 form statically (valid
+# for weights whose spans stay inside _SAFE_RANGE -- trained DiffMa
+# models sit far inside; its backward also re-derives y_pre in one dot,
+# measured -9.5% fwd+bwd at bs64 train).  DIFFMA_SSD_DECAY=auto keeps the
+# round-4 runtime dispatch (span-exact AND factored-fast per stream, at
+# the measured ~25% kernel tax).  Two other rejected designs, measured on
+# the tunnelled v5e at B/2 bs64: a per-ELEMENT select (jnp.where) computes
+# both sides (~2x either form); an XLA-level ``lax.cond`` re-run dispatch
+# costs ~2 ms per mixer call (~+80% fwd).  In auto mode the branch
+# decision is bit-stable across forward and backward: both derive the
+# span from the SAME cd-rounded post-permute stream residual ``xs``.
+# The surrogate hatch implies quadratic (it probes that form).
 _FORCED_DECAY = os.environ.get("DIFFMA_SSD_DECAY", "")
 _QUAD_ONLY = _DECAY_SURROGATE or _FORCED_DECAY == "quadratic"
 _SAFE_RANGE = 60.0
 
 
 def _static_decay_mode():
-    """'quadratic' / 'factored' when forced by env, else 'auto' (= per-stream
-    in-kernel ``pl.when`` dispatch on the runtime decay span)."""
+    """'factored' / 'auto' when opted in by env, else 'quadratic' (exact at
+    every decay span, single-body; see the selection note above)."""
     if _QUAD_ONLY:
         return "quadratic"
-    if _FORCED_DECAY == "factored":
-        return "factored"
-    return "auto"
+    if _FORCED_DECAY in ("factored", "auto"):
+        return _FORCED_DECAY
+    return "quadratic"
 
 
 def _decay_exp(diff, tril_f32):

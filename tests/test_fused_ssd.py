@@ -290,19 +290,33 @@ def _span_args(scale_dt, seed=3, **kw):
     return tuple(args)
 
 
-@pytest.mark.parametrize("dt_bias,branch", [(-6.0, "factored"), (0.65, "quadratic")])
-def test_decay_branches_match_composable(dt_bias, branch):
-    """Both runtime decay branches (factored rank-1 form and the quadratic
-    per-head fallback) must match the composable path in values AND grads.
+@pytest.mark.parametrize(
+    "dt_bias,branch,mode",
+    [
+        # the runtime-dispatch (auto) kernel, both branches -- no longer the
+        # default (round 5 measured its dual-body tax at 22-28%; see
+        # ops/fused_ssd.py decay-form note) but still a supported hatch
+        (-6.0, "factored", "auto"),
+        (0.65, "quadratic", "auto"),
+        # the static single-body forms, incl. the shipped default
+        (0.65, "quadratic", "quadratic"),
+        (-6.0, "factored", "factored"),
+    ],
+)
+def test_decay_branches_match_composable(dt_bias, branch, mode, monkeypatch):
+    """Every decay form (static quadratic default, static factored, and both
+    branches of the runtime-dispatch kernel) must match the composable path
+    in values AND grads.
 
     dt_bias=-6 -> dt ~ softplus(-6+x) ~ 1e-2, per-head span << _SAFE_RANGE
-    (factored path); dt_bias=0.65 lands the max per-head span at ~70 --
-    past the bound (quadratic path) but still below fp32-exp overflow,
+    (factored-safe); dt_bias=0.65 lands the max per-head span at ~70 --
+    past the bound (quadratic territory) but still below fp32-exp overflow,
     where the COMPOSABLE reference's chunked autodiff itself goes NaN
     (measured: its grads are NaN from span ~90, the fused quadratic path
     stays finite far beyond).  The span is asserted, not assumed."""
     import diffma_tpu.ops.fused_ssd as fssd
 
+    monkeypatch.setattr(fssd, "_static_decay_mode", lambda: mode)
     spec = build_scan_spec("spiral", 4, 1)
     args = _span_args(dt_bias)
     x, in_w, conv_w, conv_b, dt_bias_a, A_log, D, norm_w, out_w = args

@@ -132,6 +132,91 @@ def test_forward_matches_reference(block_type, use_mamba2):
 
 
 @pytest.mark.parametrize("use_mamba2", [False, True])
+def test_training_losses_grad_parity(use_mamba2):
+    """End-to-end GRADIENT parity through the hybrid training loss.
+
+    Forward and DDIM-chain parity (above) prove inference; this proves the
+    train side: ``training_losses`` (hybrid MSE + frozen-mean VB,
+    gaussian_diffusion.py:715-790, used by train.py:247-265) is
+    differentiated through the full denoiser in both frameworks and every
+    parameter gradient must agree.  The torch grads are mapped into the
+    flax tree through ``diffma_params_from_torch`` itself — legal because
+    the converter is rearrangement-only (transposes / reshapes / a
+    size-1-dim slice), whose Jacobian is a permutation.
+    """
+    ref, ours, params = _build_pair("spiral", use_mamba2)
+    x, t, y, y2, w = _inputs()
+    noise = np.random.default_rng(13).standard_normal(x.shape).astype(np.float32)
+
+    # --- reference: hybrid loss -> loss.mean().backward() (train.py:248-259)
+    ref_diff = ref_create_diffusion("")  # 1000-step linear, learned-range
+    ref.zero_grad()
+    loss_dict = ref_diff.training_losses(
+        ref, torch.from_numpy(x), torch.from_numpy(t),
+        model_kwargs={
+            "y": torch.from_numpy(y), "y2": torch.from_numpy(y2),
+            "w": torch.from_numpy(w),
+        },
+        noise=torch.from_numpy(noise),
+    )
+    ref_loss = loss_dict["loss"].mean()
+    ref_loss.backward()
+    grad_sd = {}
+    for name, p in ref.named_parameters():
+        g = p.grad
+        grad_sd[name] = (
+            g.detach().numpy() if g is not None else np.zeros(p.shape, np.float32)
+        )
+    want_grads = diffma_params_from_torch(
+        grad_sd, depth=DEPTH, block_type="spiral", use_mamba2=use_mamba2
+    )["params"]
+
+    # --- ours: same loss, jax.grad over the imported params ---------------
+    our_diff = create_diffusion("")
+
+    def loss_fn(p):
+        def model_fn(xx, tt, **kw):
+            return ours.apply({"params": p}, xx, tt, **kw)
+
+        terms = our_diff.training_losses(
+            model_fn, jnp.asarray(x), jnp.asarray(t), jax.random.PRNGKey(0),
+            model_kwargs={
+                "y": jnp.asarray(y), "y2": jnp.asarray(y2), "w": jnp.asarray(w),
+            },
+            noise=jnp.asarray(noise),
+        )
+        return terms["loss"].mean(), terms
+
+    (our_loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    # Loss terms agree first (cheap localisation if the grads diverge).
+    np.testing.assert_allclose(float(our_loss), float(ref_loss), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(terms["mse"].mean()), float(loss_dict["mse"].mean()), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(terms["vb"].mean()), float(loss_dict["vb"].mean()), rtol=1e-3
+    )
+
+    got_leaves = jax.tree_util.tree_flatten_with_path(grads)[0]
+    want_leaves = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(jnp.asarray, want_grads)
+    )[0]
+    assert len(got_leaves) == len(want_leaves)
+    bad = []
+    for (kp_g, g), (kp_w, wnt) in zip(got_leaves, want_leaves):
+        path = jax.tree_util.keystr(kp_g)
+        assert path == jax.tree_util.keystr(kp_w)
+        g, wnt = np.asarray(g), np.asarray(wnt)
+        assert g.shape == wnt.shape, path
+        scale = max(float(np.abs(wnt).mean()), 1e-8)
+        mae = float(np.abs(g - wnt).mean())
+        if mae > 1e-6 + 1e-3 * scale:
+            bad.append((path, mae, scale))
+    assert not bad, f"grad mismatch on {len(bad)} leaves: {bad[:5]}"
+
+
+@pytest.mark.parametrize("use_mamba2", [False, True])
 def test_ddim50_chain_matches_reference(use_mamba2):
     """The north star: 50-step deterministic DDIM through the full denoiser,
     pixel MAE < 1e-3 vs PyTorch (BASELINE.json)."""
